@@ -54,18 +54,15 @@ def error_df(spark: SparkSession, records: list[ErrorRecord]) -> DataFrame:
     return spark.createDataFrame([r.as_tuple() for r in records], ERROR_SCHEMA)
 
 
-def split_valid_invalid(
-    df: DataFrame,
-    reference_name: str = "cdc",
-    table_col: str = "table_name",
-) -> tuple[DataFrame, DataFrame]:
-    """Row-level validation of a change-feed frame → (good, errors).
+def invalid_condition():
+    """The row-validity predicate of a change-feed frame, as a Column.
 
     Invariants checked (input_hint: ``n_tok = size(tokens)`` maintained):
       * upserts must carry tokens and a consistent n_tok
       * op must be one of I/U/D
-    Errors are returned in ERROR_SCHEMA shape — the Spark-native analog of
-    the reference's InvalidEntry side output (RecordWrapper.java:25-50).
+    Returned separately from the projections so callers can count invalid
+    rows with an Observation on the SAME job that applies the good rows —
+    no second scan of the source.
     """
     is_del = F.col("op") == "D"
     bad_op = ~F.col("op").isin("I", "U", "D")
@@ -74,23 +71,37 @@ def split_valid_invalid(
         | F.col("n_tok").isNull()
         | (F.col("n_tok") != F.size("tokens"))
     )
-    is_bad = bad_op | bad_payload
+    return bad_op | bad_payload
+
+
+def error_projection(reference_name: str, table_col: str = "table_name"):
+    """Projection of an invalid change row into ERROR_SCHEMA shape — the
+    Spark-native analog of the reference's InvalidEntry side output
+    (RecordWrapper.java:25-50)."""
+    bad_op = ~F.col("op").isin("I", "U", "D")
+    return [
+        F.lit(reference_name).alias("reference_name"),
+        F.concat(
+            F.lit("invalid record doc_id="),
+            F.col("doc_id"),
+            F.lit(" lsn="),
+            F.col("lsn").cast("string"),
+            F.when(bad_op, F.lit(": unknown op ")).otherwise(
+                F.lit(": n_tok/tokens invariant violated")
+            ),
+        ).alias("error_message"),
+        F.lit("ValidationError").alias("exception_class_name"),
+        F.col(table_col).alias("table_name"),
+    ]
+
+
+def split_valid_invalid(
+    df: DataFrame,
+    reference_name: str = "cdc",
+    table_col: str = "table_name",
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level validation of a change-feed frame → (good, errors)."""
+    is_bad = invalid_condition()
     good = df.filter(~is_bad)
-    errors = (
-        df.filter(is_bad)
-        .select(
-            F.lit(reference_name).alias("reference_name"),
-            F.concat(
-                F.lit("invalid record doc_id="),
-                F.col("doc_id"),
-                F.lit(" lsn="),
-                F.col("lsn").cast("string"),
-                F.when(bad_op, F.lit(": unknown op ")).otherwise(
-                    F.lit(": n_tok/tokens invariant violated")
-                ),
-            ).alias("error_message"),
-            F.lit("ValidationError").alias("exception_class_name"),
-            F.col(table_col).alias("table_name"),
-        )
-    )
+    errors = df.filter(is_bad).select(*error_projection(reference_name, table_col))
     return good, errors

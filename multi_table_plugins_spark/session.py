@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # dynamic-partition writes: concurrent per-partition writers instead
+        # of a per-task sort — the sort dominates when rows carry arrays
+        .config("spark.sql.maxConcurrentOutputFileWriters", "640")
+        # dimension tables / per-batch key sets broadcast freely on a
+        # 128 GiB box (cluster guidance: size to executor memory)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -69,35 +69,169 @@ def apply_cdc_batch(
     error_mode: str = ERROR_PORT,
     allow_tables: tuple[str, ...] = (),
     block_tables: tuple[str, ...] = (),
-    n_buckets: int = 32,
+    n_buckets: int = 16,
     table_mode: str = "mor",
-    compact_threshold: int = 8,
+    compact_threshold: int = 16,
     max_parallel_tables: int = 8,
     validate: bool = True,
+    fast_path: bool = True,
+    batch_dedup: bool = False,
     lineage: LineageLog | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to the warehouse.
 
     Idempotent per (app_id, table, epoch): replaying a committed epoch is
-    a no-op (see LakeTable.merge_into ledger).
+    a no-op (per-table epoch ledger).
+
+    ``fast_path`` applies ALL tables with one Spark job
+    (lakehouse.multi_merge) — validation/delete/watermark counts ride the
+    job via Observation. If that job fails and ``error_mode`` is not
+    ``fail``, the batch is retried on the per-table isolated path so a
+    poison table cannot take down its siblings (E2/E3 semantics,
+    ErrorCollectingRecordReader.java:58-73).
     """
     assert error_mode in MODES, error_mode
     if lineage is None:
         lineage = LineageLog(warehouse)
 
+    from pyspark.sql import Observation
+
+    from ..errors import error_projection, invalid_condition
+
+    good = batch_df
+    obs_v = None
+    if validate:
+        if error_mode == FAIL:
+            # strict mode: know about invalid rows BEFORE applying anything
+            good, bad = split_valid_invalid(batch_df, reference_name=app_id)
+            _flush_validation_errors(spark, bad, warehouse, app_id, error_mode)
+        else:
+            # count invalid rows on the apply job itself (no extra scan);
+            # materialize them afterwards only if the count is non-zero
+            is_bad = invalid_condition()
+            obs_v = Observation()
+            observed = batch_df.observe(
+                obs_v, F.sum(is_bad.cast("int")).alias("n_bad")
+            )
+            good = observed.filter(~is_bad)
+    if allow_tables:
+        good = good.filter(F.col("table_name").isin(*allow_tables))
+    if block_tables:
+        good = good.filter(~F.col("table_name").isin(*block_tables))
+
+    if fast_path:
+        try:
+            from ..lakehouse.multi_merge import merge_many
+
+            results = merge_many(
+                spark,
+                good,
+                warehouse,
+                app_id=app_id,
+                epoch=epoch,
+                n_buckets=n_buckets,
+                table_mode=table_mode,
+                compact_threshold=compact_threshold,
+                batch_dedup=batch_dedup,
+            )
+            batch_stats = results.pop("_batch", {})
+            if obs_v is not None and (obs_v.get.get("n_bad") or 0) > 0:
+                if error_mode == ERROR_PORT:
+                    write_errors(
+                        batch_df.filter(invalid_condition()).select(
+                            *error_projection(app_id)
+                        ),
+                        warehouse,
+                    )
+            for t, m in results.items():
+                lineage.emit(
+                    {
+                        "kind": "cdc_apply",
+                        "app_id": app_id,
+                        "epoch": epoch,
+                        "table": t,
+                        "fqn": lake_fqn(warehouse, t),
+                        "watermark": batch_stats.get("watermark"),
+                        "max_lsn": batch_stats.get("max_lsn"),
+                        **m,
+                    }
+                )
+            return {"tables": results, "failed": [], "epoch": epoch}
+        except TableFailure:
+            raise
+        except BaseException as e:  # noqa: BLE001
+            if error_mode == FAIL:
+                raise
+            lineage.emit(
+                {
+                    "kind": "fast_path_fallback",
+                    "app_id": app_id,
+                    "epoch": epoch,
+                    "error": str(e),
+                }
+            )
+            # fall through to the isolated path
+
+    return _apply_isolated(
+        spark,
+        batch_df,
+        warehouse,
+        epoch,
+        app_id,
+        error_mode,
+        allow_tables,
+        block_tables,
+        n_buckets,
+        table_mode,
+        compact_threshold,
+        max_parallel_tables,
+        validate,
+        lineage,
+    )
+
+
+def _flush_validation_errors(spark, bad, warehouse, app_id, error_mode) -> int:
+    """Write row-level validation errors (one cheap job; only reached
+    when the caller wants the error channel materialized)."""
+    if error_mode == SKIP:
+        return 0
+    bad = bad.persist()
+    try:
+        n_bad = bad.count()
+        if n_bad:
+            if error_mode == FAIL:
+                raise TableFailure(
+                    "<validation>", ValueError(f"{n_bad} invalid records")
+                )
+            write_errors(bad, warehouse)
+        return n_bad
+    finally:
+        bad.unpersist()
+
+
+def _apply_isolated(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    warehouse: str,
+    epoch: int,
+    app_id: str,
+    error_mode: str,
+    allow_tables: tuple[str, ...],
+    block_tables: tuple[str, ...],
+    n_buckets: int,
+    table_mode: str,
+    compact_threshold: int,
+    max_parallel_tables: int,
+    validate: bool,
+    lineage: LineageLog,
+) -> dict:
+    """Per-table isolated apply: one merge job per table, failures
+    contained to their table (slow path / error-isolation path)."""
     batch_df = batch_df.persist()
     try:
         if validate:
             good, bad = split_valid_invalid(batch_df, reference_name=app_id)
-            # count via the same action that writes them
-            bad = bad.persist()
-            n_bad = bad.count()
-            if n_bad:
-                if error_mode == FAIL:
-                    raise TableFailure("<validation>", ValueError(f"{n_bad} invalid records"))
-                if error_mode == ERROR_PORT:
-                    write_errors(bad, warehouse)
-            bad.unpersist()
+            _flush_validation_errors(spark, bad, warehouse, app_id, error_mode)
         else:
             good = batch_df
 
@@ -107,7 +241,6 @@ def apply_cdc_batch(
         names = discover_tables(names, allow_tables, block_tables)
         payload_schema = payload_schema_of_changes(good.schema)
 
-        # event-time high-water mark for this batch (watermark analog)
         wm_row = good.agg(
             F.max("ts").alias("wm"), F.max("lsn").alias("max_lsn")
         ).collect()[0]

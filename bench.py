@@ -32,7 +32,7 @@ from multi_table_plugins_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("MTP_BENCH_EVENTS", "4000000"))
+N_EVENTS = int(os.environ.get("MTP_BENCH_EVENTS", "8000000"))
 CDC_REPS = int(os.environ.get("MTP_BENCH_REPS", "3"))
 SKIP_SCALING = os.environ.get("MTP_BENCH_SKIP_SCALING") == "1"
 
@@ -93,7 +93,10 @@ def _one_cdc_run(cores: int, feed_dir: str) -> float:
     spark = get_spark(
         f"mtp-bench-cdc-{cores}",
         cores=cores,
-        extra_conf={"spark.local.dir": SCRATCH},
+        extra_conf={
+            "spark.local.dir": SCRATCH,
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        },
     )
     work = tempfile.mkdtemp(prefix=f"mtp_bench_wh_{cores}_", dir=SCRATCH)
     wh = os.path.join(work, "wh")

@@ -148,18 +148,31 @@ class LakeTable:
             return []
         return sorted(n for n in os.listdir(d) if n.startswith("manifest-") and n.endswith(".json"))
 
-    def manifest(self) -> dict:
+    def manifest(self, version: int | None = None) -> dict:
+        """Latest manifest, or a pinned historical ``version`` (time travel
+        — every commit's manifest is retained, like Iceberg snapshots)."""
         names = self._manifest_files()
         if not names:
             raise FileNotFoundError(f"no manifest under {self.path}")
+        if version is not None:
+            name = f"manifest-{version:08d}.json"
+            if name not in names:
+                raise FileNotFoundError(f"no version {version} at {self.path}")
+            with open(os.path.join(self.path, MANIFEST_DIR, name)) as f:
+                return json.load(f)
         latest = names[-1]
-        version = int(latest[len("manifest-") : -len(".json")])
-        if version == self._manifest_cache_version and self._manifest_cache:
+        v = int(latest[len("manifest-") : -len(".json")])
+        if v == self._manifest_cache_version and self._manifest_cache:
             return self._manifest_cache
         with open(os.path.join(self.path, MANIFEST_DIR, latest)) as f:
             m = json.load(f)
-        self._manifest_cache, self._manifest_cache_version = m, version
+        self._manifest_cache, self._manifest_cache_version = m, v
         return m
+
+    def versions(self) -> list[int]:
+        return [
+            int(n[len("manifest-") : -len(".json")]) for n in self._manifest_files()
+        ]
 
     def _publish(self, manifest: dict) -> None:
         """Atomically publish ``manifest`` as the next version.
@@ -215,11 +228,12 @@ class LakeTable:
         return s
 
     def _read_files(
-        self, entries: Iterable[dict], target: StructType
+        self, entries: Iterable[dict], target: StructType, m: dict | None = None
     ) -> DataFrame | None:
         """Read file entries grouped by schema version, conform each group
         to ``target`` (casts widen, missing cols null-fill)."""
-        m = self.manifest()
+        if m is None:
+            m = self.manifest()
         by_sv: dict[str, list[str]] = {}
         for e in entries:
             by_sv.setdefault(str(e["sv"]), []).append(
@@ -234,17 +248,22 @@ class LakeTable:
             out = df if out is None else out.unionByName(df)
         return out
 
-    def _scan(self, include_tombstones: bool = False) -> DataFrame:
-        """Current table state incl. bookkeeping cols (LWW-resolved)."""
-        m = self.manifest()
-        target = self._internal_schema(self.schema())
+    def _scan(
+        self, include_tombstones: bool = False, version: int | None = None
+    ) -> DataFrame:
+        """Table state incl. bookkeeping cols (LWW-resolved); pass
+        ``version`` for a time-travel read of an older snapshot."""
+        m = self.manifest(version)
+        target = self._internal_schema(
+            schema_from_json(m["schemas"][str(m["current_schema_version"])])
+        )
         base_entries: list[dict] = []
         delta_entries: list[dict] = []
         for b in m["buckets"].values():
             base_entries.extend(b.get("base", []))
             delta_entries.extend(b.get("delta", []))
-        base = self._read_files(base_entries, target)
-        delta = self._read_files(delta_entries, target)
+        base = self._read_files(base_entries, target, m)
+        delta = self._read_files(delta_entries, target, m)
         if base is None and delta is None:
             df = self.spark.createDataFrame([], target)
         elif delta is None:
@@ -268,11 +287,41 @@ class LakeTable:
         agg = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(LSN_COL)).alias("_s")
         return df.groupBy(key).agg(agg).select(key, "_s.*")
 
-    def read(self, with_lsn: bool = False) -> DataFrame:
-        """Live rows in the user schema (tombstones filtered)."""
-        df = self._scan()
+    def read(self, with_lsn: bool = False, version: int | None = None) -> DataFrame:
+        """Live rows in the user schema (tombstones filtered); ``version``
+        time-travels to an older snapshot."""
+        df = self._scan(version=version)
         drop = [DELETED_COL] if with_lsn else list(BOOKKEEPING_COLS)
         return df.drop(*drop)
+
+    def vacuum_tombstones(self, lsn_watermark: int) -> dict:
+        """Physically drop tombstones whose ``_lsn`` < ``lsn_watermark``
+        (safe once the feed can no longer deliver events below the
+        watermark — the streaming low-water mark). Rewrites all buckets
+        that currently hold qualifying tombstones."""
+        m = self.manifest()
+        target = self._internal_schema(self.schema())
+        buckets = [b for b, v in m["buckets"].items() if v.get("base") or v.get("delta")]
+        if not buckets:
+            return {"vacuumed": 0}
+        self.compact(buckets)  # fold deltas first so base is authoritative
+        m = json.loads(json.dumps(self.manifest()))
+        entries = [e for b in buckets for e in m["buckets"][b].get("base", [])]
+        df = self._read_files(entries, target, m)
+        before = df.count()
+        kept = df.filter(
+            ~(
+                F.coalesce(F.col(DELETED_COL), F.lit(False))
+                & (F.col(LSN_COL) < F.lit(lsn_watermark))
+            )
+        ).withColumn(_BUCKET_COL, self._bucket_expr())
+        new_entries = self._write_data_files(kept, m["version"] + 1, "base")
+        for b in buckets:
+            m["buckets"][b]["base"] = new_entries.get(b, [])
+            m["buckets"][b]["delta"] = []
+        self._advance(m)
+        self._publish(m)
+        return {"vacuumed": before - self._scan(include_tombstones=True).count()}
 
     # ------------------------------------------------------------------
     # write path

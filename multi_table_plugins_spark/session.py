@@ -23,7 +23,10 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cores, 8)
+        # 4x cores: fine enough that hash imbalance over write combos
+        # (table x bucket) doesn't leave straggler tasks; AQE coalesces
+        # small partitions back together where it matters
+        shuffle_partitions = max(4 * cores, 16)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

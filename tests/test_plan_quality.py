@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the plans Catalyst picks are the plans we
+designed for — no Python in hot paths, minimal exchanges, broadcast where
+a side is small, pushdown reaching the scan. These guard against silent
+plan regressions that would only show up at 100x data."""
+
+from pyspark.sql import functions as F
+
+from multi_table_plugins_spark.functions.textfns import doc_fingerprint, lang_id
+from multi_table_plugins_spark.operators.similarity import cosine_topk
+from multi_table_plugins_spark.schemas import DELETED_COL, LSN_COL
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cdc_write_plan_single_exchange_no_sort(spark):
+    """The fast-path delta write: scan → project/filter → ONE exchange
+    (repartition on table+bucket) → write. No sort (concurrent writers),
+    no aggregate, no Python."""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "cast(l_orderkey as string) as doc_id",
+        "array(l_linenumber) as tokens",
+        "l_linenumber as n_tok",
+        "'x' as source",
+        "l_orderkey as lsn",
+        "'I' as op",
+        "'t0' as table_name",
+    )
+    norm = (
+        df.withColumn(LSN_COL, F.col("lsn"))
+        .withColumn(DELETED_COL, F.col("op") == "D")
+        .withColumn("_table", F.col("table_name"))
+        .withColumn("_bucket", F.pmod(F.hash("doc_id"), F.lit(16)))
+        .repartition(F.col("_table"), F.col("_bucket"))
+    )
+    p = _plan(norm)
+    assert p.count("Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Sort" not in p
+
+
+def test_text_ops_stay_jvm_side(spark):
+    from multi_table_plugins_spark.functions.textfns import token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # fingerprint/lang-id build higher-order-function expressions: JVM-
+    # evaluated (no Python), though HOF lambdas opt out of codegen
+    p = _plan(docs.select(doc_fingerprint("text"), lang_id("text")))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # plain regexp expressions stay inside WholeStageCodegen ("*(n)" spans)
+    p2 = _plan(docs.select(token_count("text")))
+    assert "*(1)" in p2 and "EvalPython" not in p2
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cosine_topk(emb.filter("vec_id < 3"), emb, k=5)
+    p = _plan(out)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_filter_and_projection_pushed_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter("l_quantity < 5").select("l_orderkey", "l_quantity")
+    p = _plan(q)
+    assert "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the two needed columns
+    rs = p.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_lww_dedup_uses_partial_aggregation(spark):
+    """Keys-only argmax is a HashAggregate with a partial stage (map-side
+    combine) — not a sort-based fallback."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg = ev.groupBy("user_id").agg(F.max("event_id").alias("m"))
+    p = _plan(agg)
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p

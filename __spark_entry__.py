@@ -463,6 +463,17 @@ def q_cdc_replay_final_state(spark, sf_dir):
     return entry(spark)
 
 
+def q_dedup_exact_clusters(spark, sf_dir):
+    # iterative connected-components over the near-dup pair graph →
+    # exact cluster dedup (non-SQL: driver-controlled fixpoint loop)
+    from multi_table_plugins_spark.operators.components import dedup_keep_canonical
+
+    docs = _r(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_bands=16, threshold=0.3)
+    return dedup_keep_canonical(docs, pairs).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multi_table_union_tagged": q_multi_table_union_tagged,
@@ -487,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "lsh_ann_topk": q_lsh_ann_topk,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "dedup_exact_clusters": q_dedup_exact_clusters,
     }
 
 

@@ -191,6 +191,13 @@ def merge_many(
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    # remove the shared staging parent when no other batch is mid-flight
+    parent = os.path.dirname(staging)
+    try:
+        if not os.listdir(parent):
+            os.rmdir(parent)
+    except OSError:
+        pass
     results["_batch"] = {
         "rows_in": got.get("rows_in", 0),
         "deletes": got.get("deletes", 0) or 0,

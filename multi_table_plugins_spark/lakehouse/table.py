@@ -393,30 +393,44 @@ class LakeTable:
         compaction. Returns metrics; ``skipped=True`` if the epoch was
         already committed (caller should discard the files).
         """
-        if epoch is not None:
-            last = self.last_committed_epoch(app_id)
-            if last is not None and epoch <= last:
-                return {"skipped": True, "snapshot_id": self.snapshot_id()}
-        m = json.loads(json.dumps(self.manifest()))
-        file_sv = self._ensure_schema_version(m, file_schema)
-        cur = schema_from_json(m["schemas"][str(m["current_schema_version"])])
-        merged = merge_schemas(cur, file_schema)
-        if merged.json() != cur.json():
-            sv = self._ensure_schema_version(m, merged)
-            m["current_schema_version"] = sv
-        for bucket, es in entries_by_bucket.items():
-            for e in es:
-                e["sv"] = file_sv
-            b = m["buckets"].setdefault(bucket, {"base": [], "delta": []})
-            b["delta"].extend(es)
-        if epoch is not None:
-            m["committed"][app_id] = epoch
-        m["stats"]["total_files"] = sum(
-            len(b.get("base", [])) + len(b.get("delta", []))
-            for b in m["buckets"].values()
-        )
-        self._advance(m)
-        self._publish(m)
+        # Optimistic concurrency: delta commits only APPEND file entries,
+        # so on a version race we reload the winner's manifest and re-apply
+        # our mutation — the data files are already on disk and unchanged
+        # (Iceberg's retryable-commit semantics for fast appends).
+        for attempt in range(10):
+            if epoch is not None:
+                last = self.last_committed_epoch(app_id)
+                if last is not None and epoch <= last:
+                    return {"skipped": True, "snapshot_id": self.snapshot_id()}
+            m = json.loads(json.dumps(self.manifest()))
+            file_sv = self._ensure_schema_version(m, file_schema)
+            cur = schema_from_json(m["schemas"][str(m["current_schema_version"])])
+            merged = merge_schemas(cur, file_schema)
+            if merged.json() != cur.json():
+                sv = self._ensure_schema_version(m, merged)
+                m["current_schema_version"] = sv
+            m = json.loads(json.dumps(m))  # isolate per-attempt entry copies
+            for bucket, es in entries_by_bucket.items():
+                entry_copies = [dict(e, sv=file_sv) for e in es]
+                b = m["buckets"].setdefault(bucket, {"base": [], "delta": []})
+                b["delta"].extend(entry_copies)
+            if epoch is not None:
+                m["committed"][app_id] = epoch
+            m["stats"]["total_files"] = sum(
+                len(b.get("base", [])) + len(b.get("delta", []))
+                for b in m["buckets"].values()
+            )
+            self._advance(m)
+            try:
+                self._publish(m)
+                break
+            except CommitConflict:
+                self._manifest_cache_version = -1  # force reload
+                continue
+        else:
+            raise CommitConflict(
+                f"gave up after 10 commit attempts at {self.path}"
+            )
         threshold = m["compact_threshold"]
         to_compact = [
             b

@@ -1,0 +1,79 @@
+"""Connected components over near-duplicate pair graphs — the exact
+cluster semantics for dedup at scale (pairwise greedy removal is only an
+approximation when clusters aren't cliques; see dedup.minhash_dedup).
+
+Algorithm: iterated min-label propagation (the DataFrame form of
+large-star/small-star): every node adopts the minimum label in its
+closed neighborhood until a fixpoint. Each round is one join + one
+aggregation (both keyed shuffles); rounds needed = graph diameter in
+label-space, which for near-dup clusters (tiny diameters) is 2-4. The
+iteration count and convergence are driver-controlled — a genuinely
+iterative algorithm the SQL oracle can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the minimum node id of the component."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # propagate: each node's candidate = min(own comp, neighbors' comps)
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"], "inner")
+            .select(F.col("a").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", "comp")
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact cluster dedup: keep exactly one row (the min id) per
+    connected component of the near-dup graph; rows in no pair survive."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -392,6 +392,59 @@ GROUP BY c.c_custkey
 """
 
 
+def q_set_ops(spark, sf_dir):
+    # set operators over the multi-table catalog: customers with orders
+    # minus big spenders, via EXCEPT/INTERSECT equivalents
+    cust = _r(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    with_orders = (
+        _r(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    big = (
+        _r(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return cust.intersect(with_orders).subtract(big)  # set semantics, like SQL
+
+
+O_SET_OPS = """
+SELECT c_custkey AS custkey FROM customer
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def q_multi_table_counts(spark, sf_dir):
+    # S1/S5 evidence: discover the catalog, scan every table in one query
+    from multi_table_plugins_spark.sources.multi_table import MultiTableSource
+
+    src = MultiTableSource(
+        spark, sf_dir, allow_list=("region", "nation", "customer", "supplier", "part")
+    )
+    counts = [
+        src.read_table(t)
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit(t).alias("tablename"), "cnt")
+        for t in src.tables
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+O_MULTI_TABLE_COUNTS = """
+SELECT 'customer' AS tablename, COUNT(*) AS cnt FROM customer
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'region', COUNT(*) FROM region
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     # headline relational agg (TPC-H Q1 family) — partial-agg + codegen
     li = _r(spark, sf_dir, "lineitem")
@@ -492,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "sql_statement_join": q_sql_statement_join,
+        "set_ops": q_set_ops,
+        "multi_table_counts": q_multi_table_counts,
         "pricing_summary": q_pricing_summary,
         "hourly_rollup": q_hourly_rollup,
         "minhash_near_dup": q_minhash_near_dup,
@@ -520,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _o_lang_id(),
         "ann_cosine_topk": O_ANN_TOPK,
         "sql_statement_join": O_SQL_STATEMENT,
+        "set_ops": O_SET_OPS,
+        "multi_table_counts": O_MULTI_TABLE_COUNTS,
         "pricing_summary": O_PRICING,
         "hourly_rollup": O_HOURLY,
         # minhash_near_dup / simhash_signatures / lsh_ann_topk /

@@ -218,6 +218,9 @@ def run_queries() -> tuple[dict, float]:
 
     spark = get_spark("mtp-bench-queries", cores=CPUS)
     qs = entrymod.queries()
+    # session warmup so per-query numbers are steady-state, not JIT
+    qs["pricing_summary"](spark, SF_DIR).count()
+    qs["ann_cosine_topk"](spark, SF_DIR).count()
     out = {}
     total = 0.0
     for name in HEADLINE:

@@ -30,9 +30,19 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+#: table names become warehouse directory names — anything else is an
+#: injection risk (a change event with table_name='../x' must never
+#: escape the warehouse root)
+SAFE_TABLE_RE = re.compile(r"^[A-Za-z0-9_.\-]{1,128}$")
+
+
+def is_safe_table_name(name: str) -> bool:
+    return bool(SAFE_TABLE_RE.match(name)) and name not in (".", "..")
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
 from .table import DATA_DIR, LakeTable, _conform
@@ -127,8 +137,13 @@ def merge_many(
 
     results: dict[str, dict] = {}
 
+    unsafe: list[str] = []
+
     def _commit_table(tdir: str) -> None:
         table = tdir.split("=", 1)[1]
+        if not is_safe_table_name(table):
+            unsafe.append(table)
+            return
         tpath = os.path.join(warehouse, table)
         lt = LakeTable.get_or_create(
             spark,
@@ -203,5 +218,6 @@ def merge_many(
         "deletes": got.get("deletes", 0) or 0,
         "watermark": got.get("watermark"),
         "max_lsn": got.get("max_lsn"),
+        "unsafe_tables": sorted(unsafe),
     }
     return results

@@ -135,6 +135,31 @@ def apply_cdc_batch(
                 batch_dedup=batch_dedup,
             )
             batch_stats = results.pop("_batch", {})
+            for bad_name in batch_stats.get("unsafe_tables", []):
+                lineage.emit(
+                    {
+                        "kind": "table_rejected",
+                        "app_id": app_id,
+                        "epoch": epoch,
+                        "table": bad_name,
+                        "error": "unsafe table name",
+                    }
+                )
+                if error_mode == ERROR_PORT:
+                    write_errors(
+                        errmod.error_df(
+                            spark,
+                            [
+                                errmod.ErrorRecord(
+                                    reference_name=app_id,
+                                    error_message=f"unsafe table name {bad_name!r} rejected",
+                                    exception_class_name="UnsafeTableName",
+                                    table_name=bad_name,
+                                )
+                            ],
+                        ),
+                        warehouse,
+                    )
             if obs_v is not None and (obs_v.get.get("n_bad") or 0) > 0:
                 if error_mode == ERROR_PORT:
                     write_errors(

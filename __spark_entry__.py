@@ -392,6 +392,45 @@ GROUP BY c.c_custkey
 """
 
 
+def q_scalar_functions(spark, sf_dir):
+    # scalar function battery: string/math/date/conditional parity with
+    # ANSI SQL — the surface reference users exercise through custom SQL
+    o = _r(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("ckey"),
+        F.abs(F.col("o_totalprice") - 1000).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_p"),
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("bucket100"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status2"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+O_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       UPPER(o_orderstatus) AS status_u,
+       SUBSTRING(o_orderpriority, 1, 3) AS prio3,
+       CONCAT('c', CAST(o_custkey AS VARCHAR)) AS ckey,
+       ABS(o_totalprice - 1000) AS abs_diff,
+       ROUND(SQRT(o_totalprice), 4) AS sqrt_p,
+       CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS bucket100,
+       LENGTH(o_orderpriority) AS prio_len,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status2,
+       YEAR(o_orderdate) AS yr,
+       MONTH(o_orderdate) AS mo,
+       DAYOFMONTH(o_orderdate) AS dom,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders
+"""
+
+
 def q_set_ops(spark, sf_dir):
     # set operators over the multi-table catalog: customers with orders
     # minus big spenders, via EXCEPT/INTERSECT equivalents
@@ -547,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_statement_join": q_sql_statement_join,
         "set_ops": q_set_ops,
         "multi_table_counts": q_multi_table_counts,
+        "scalar_functions": q_scalar_functions,
         "pricing_summary": q_pricing_summary,
         "hourly_rollup": q_hourly_rollup,
         "minhash_near_dup": q_minhash_near_dup,
@@ -577,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_statement_join": O_SQL_STATEMENT,
         "set_ops": O_SET_OPS,
         "multi_table_counts": O_MULTI_TABLE_COUNTS,
+        "scalar_functions": O_SCALAR_FUNCTIONS,
         "pricing_summary": O_PRICING,
         "hourly_rollup": O_HOURLY,
         # minhash_near_dup / simhash_signatures / lsh_ann_topk /

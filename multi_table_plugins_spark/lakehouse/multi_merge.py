@@ -179,7 +179,11 @@ def merge_many(
                         "rows": rows,
                     }
                 )
+        import time as _time
+
+        t0 = _time.time()
         m = lt.commit_delta(entries, payload_schema, app_id, epoch)
+        m["commit_ms"] = round((_time.time() - t0) * 1000, 1)
         if m.get("skipped"):
             # epoch already committed (crash replay) — discard linked files
             import shutil

@@ -130,6 +130,12 @@ def merge_many(
     (
         bucketed.repartition(F.col(_TABLE_COL), F.col(_BUCKET_COL))
         .write.partitionBy(_TABLE_COL, _BUCKET_COL)
+        # deltas are short-lived (folded by compaction): skip compression
+        # and dictionary encoding — random token ids don't compress, and
+        # the encode CPU is ~20% of apply time; compacted BASE files keep
+        # the session codec (snappy) since they live long
+        .option("compression", "uncompressed")
+        .option("parquet.enable.dictionary", "false")
         .mode("error")
         .parquet(staging)
     )

@@ -333,12 +333,15 @@ class LakeTable:
         ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}."""
         rel = f"{DATA_DIR}/v{version:08d}-{tag}"
         out = os.path.join(self.path, rel)
-        (
-            df.repartition(self.n_buckets, F.col(_BUCKET_COL))
-            .write.partitionBy(_BUCKET_COL)
-            .mode("error")
-            .parquet(out)
+        w = df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.partitionBy(
+            _BUCKET_COL
         )
+        if tag == "delta":
+            # short-lived files: no compression/dictionary (see multi_merge)
+            w = w.option("compression", "uncompressed").option(
+                "parquet.enable.dictionary", "false"
+            )
+        w.mode("error").parquet(out)
         m = self.manifest()
         sv = m["current_schema_version"]
         entries: dict[str, list[dict]] = {}

@@ -31,21 +31,25 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 #: table names become warehouse directory names — anything else is an
 #: injection risk (a change event with table_name='../x' must never
-#: escape the warehouse root)
-SAFE_TABLE_RE = re.compile(r"^[A-Za-z0-9_.\-]{1,128}$")
+#: escape the warehouse root). Leading '_' and '.' are reserved for
+#: engine directories (_errors/_lineage/_staging/_manifests) and hidden
+#: files, so they are rejected too.
+SAFE_TABLE_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.\-]{0,127}$")
 
 
 def is_safe_table_name(name: str) -> bool:
-    return bool(SAFE_TABLE_RE.match(name)) and name not in (".", "..")
+    return bool(SAFE_TABLE_RE.match(name))
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
-from .table import DATA_DIR, LakeTable, _conform
+from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform
 
 _BUCKET_COL = "_bucket"
 _TABLE_COL = "_table"
@@ -113,9 +117,10 @@ def merge_many(
         winners = norm.groupBy(_TABLE_COL, key_col).agg(
             F.max(LSN_COL).alias(LSN_COL)
         )
-        deduped = norm.join(
-            F.broadcast(winners), [_TABLE_COL, key_col, LSN_COL], "inner"
-        )
+        # no broadcast hint: the winners set is bounded by the batch's
+        # distinct-key count, which can be the whole batch — AQE picks a
+        # broadcast join at runtime when it actually fits the threshold
+        deduped = norm.join(winners, [_TABLE_COL, key_col, LSN_COL], "inner")
     else:
         deduped = norm
     keep = [_TABLE_COL, key_col] + [
@@ -130,12 +135,7 @@ def merge_many(
     (
         bucketed.repartition(F.col(_TABLE_COL), F.col(_BUCKET_COL))
         .write.partitionBy(_TABLE_COL, _BUCKET_COL)
-        # deltas are short-lived (folded by compaction): skip compression
-        # and dictionary encoding — random token ids don't compress, and
-        # the encode CPU is ~20% of apply time; compacted BASE files keep
-        # the session codec (snappy) since they live long
-        .option("compression", "uncompressed")
-        .option("parquet.enable.dictionary", "false")
+        .options(**DELTA_WRITE_OPTS)
         .mode("error")
         .parquet(staging)
     )
@@ -160,6 +160,14 @@ def merge_many(
             mode=table_mode,
             compact_threshold=compact_threshold,
         )
+        if lt.n_buckets != n_buckets:
+            # bucket ids were computed with the caller's n_buckets; an
+            # existing table with a different layout would mis-assign
+            # files and corrupt compaction — refuse loudly
+            raise ValueError(
+                f"table {table!r} has n_buckets={lt.n_buckets}, batch was "
+                f"bucketed with {n_buckets}; pass the table's value"
+            )
         dest_rel = f"{DATA_DIR}/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"
         entries: dict[str, list[dict]] = {}
         total_rows = 0
@@ -185,15 +193,11 @@ def merge_many(
                         "rows": rows,
                     }
                 )
-        import time as _time
-
-        t0 = _time.time()
+        t0 = time.time()
         m = lt.commit_delta(entries, payload_schema, app_id, epoch)
-        m["commit_ms"] = round((_time.time() - t0) * 1000, 1)
+        m["commit_ms"] = round((time.time() - t0) * 1000, 1)
         if m.get("skipped"):
             # epoch already committed (crash replay) — discard linked files
-            import shutil
-
             shutil.rmtree(os.path.join(tpath, dest_rel), ignore_errors=True)
         else:
             m["rows_applied"] = total_rows
@@ -212,8 +216,6 @@ def merge_many(
     else:
         for d in tdirs:
             _commit_table(d)
-
-    import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
     # remove the shared staging parent when no other batch is mid-flight

@@ -61,6 +61,14 @@ _BUCKET_COL = "_bucket"
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
+#: write options for SHORT-LIVED delta files (folded by compaction):
+#: random token ids don't compress and the encode CPU is ~20% of apply
+#: time; compacted base files keep the session codec (snappy)
+DELTA_WRITE_OPTS = {
+    "compression": "uncompressed",
+    "parquet.enable.dictionary": "false",
+}
+
 
 class CommitConflict(RuntimeError):
     """Another writer published this manifest version first."""
@@ -319,6 +327,10 @@ class LakeTable:
         for b in buckets:
             m["buckets"][b]["base"] = new_entries.get(b, [])
             m["buckets"][b]["delta"] = []
+        m["stats"]["total_files"] = sum(
+            len(v.get("base", [])) + len(v.get("delta", []))
+            for v in m["buckets"].values()
+        )
         self._advance(m)
         self._publish(m)
         return {"vacuumed": before - self._scan(include_tombstones=True).count()}
@@ -331,16 +343,16 @@ class LakeTable:
     ) -> dict[str, list[dict]]:
         """Write ``df`` (already bucketed via ``_bucket`` col) under
         ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}."""
-        rel = f"{DATA_DIR}/v{version:08d}-{tag}"
+        # uuid suffix: a crash between data write and manifest publish
+        # must not poison the version-derived path on replay, and two
+        # concurrent writers must never collide on a directory
+        rel = f"{DATA_DIR}/v{version:08d}-{tag}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
         w = df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.partitionBy(
             _BUCKET_COL
         )
         if tag == "delta":
-            # short-lived files: no compression/dictionary (see multi_merge)
-            w = w.option("compression", "uncompressed").option(
-                "parquet.enable.dictionary", "false"
-            )
+            w = w.options(**DELTA_WRITE_OPTS)
         w.mode("error").parquet(out)
         m = self.manifest()
         sv = m["current_schema_version"]
@@ -601,6 +613,15 @@ class LakeTable:
             _BUCKET_COL, self._bucket_expr()
         )
         new_entries = self._write_data_files(resolved, m["version"] + 1, "base")
+        stray = set(new_entries) - set(buckets)
+        if stray:
+            # rows re-bucketed outside the buckets being compacted means
+            # the deltas were written with a different n_buckets — refusing
+            # beats silently dropping those files from the manifest
+            raise RuntimeError(
+                f"compaction re-bucketed rows into {sorted(stray)} — "
+                f"bucket-layout mismatch at {self.path}"
+            )
         for b in buckets:
             m["buckets"][b]["base"] = new_entries.get(b, [])
             m["buckets"][b]["delta"] = []

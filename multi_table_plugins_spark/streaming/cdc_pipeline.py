@@ -184,7 +184,7 @@ def apply_cdc_batch(
             return {"tables": results, "failed": [], "epoch": epoch}
         except TableFailure:
             raise
-        except BaseException as e:  # noqa: BLE001
+        except Exception as e:  # KeyboardInterrupt/SystemExit must propagate
             if error_mode == FAIL:
                 raise
             lineage.emit(
@@ -260,10 +260,40 @@ def _apply_isolated(
         else:
             good = batch_df
 
+        from ..lakehouse.multi_merge import is_safe_table_name
+
         names = sorted(
             r[0] for r in good.select("table_name").distinct().collect()
         )
         names = discover_tables(names, allow_tables, block_tables)
+        # same path-traversal guard as the fast path: feed-supplied names
+        # become warehouse directory names
+        for bad_name in [n for n in names if not is_safe_table_name(n)]:
+            names.remove(bad_name)
+            lineage.emit(
+                {
+                    "kind": "table_rejected",
+                    "app_id": app_id,
+                    "epoch": epoch,
+                    "table": bad_name,
+                    "error": "unsafe table name",
+                }
+            )
+            if error_mode == ERROR_PORT:
+                write_errors(
+                    errmod.error_df(
+                        spark,
+                        [
+                            errmod.ErrorRecord(
+                                reference_name=app_id,
+                                error_message=f"unsafe table name {bad_name!r} rejected",
+                                exception_class_name="UnsafeTableName",
+                                table_name=bad_name,
+                            )
+                        ],
+                    ),
+                    warehouse,
+                )
         payload_schema = payload_schema_of_changes(good.schema)
 
         wm_row = good.agg(
@@ -301,7 +331,7 @@ def _apply_isolated(
                         **m,
                     }
                 )
-            except BaseException as e:  # noqa: BLE001 — isolated per table
+            except Exception as e:  # isolated per table; interrupts propagate
                 failures[t] = e
 
         if max_parallel_tables > 1 and len(names) > 1:

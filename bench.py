@@ -34,8 +34,12 @@ from multi_table_plugins_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("MTP_BENCH_EVENTS", "3000000"))
+N_EVENTS = int(os.environ.get("MTP_BENCH_EVENTS", "6000000"))
 CDC_REPS = int(os.environ.get("MTP_BENCH_REPS", "3"))
+# files per trigger: 128 feed files / 64 = 2 micro-batches per replay.
+# Larger batches dilute the fixed per-trigger cost (planning, offset WAL,
+# driver-side commits) that otherwise dominates the small-core runs.
+MFT = int(os.environ.get("MTP_BENCH_MFT", "64"))
 SKIP_SCALING = os.environ.get("MTP_BENCH_SKIP_SCALING") == "1"
 
 # Memory-backed scratch when available: the scaling criterion measures
@@ -117,7 +121,7 @@ def _one_cdc_run(cores: int, feed_dir: str) -> float:
         wh,
         ckpt,
         app_id="bench",
-        max_files_per_trigger=32,
+        max_files_per_trigger=MFT,
         n_buckets=16,
         compact_threshold=16,
         max_parallel_tables=8,

@@ -168,6 +168,9 @@ def apply_cdc_batch(
                         ),
                         warehouse,
                     )
+            fields = [
+                f.name for f in payload_schema_of_changes(good.schema).fields
+            ]
             for t, m in results.items():
                 lineage.emit(
                     {
@@ -176,6 +179,7 @@ def apply_cdc_batch(
                         "epoch": epoch,
                         "table": t,
                         "fqn": lake_fqn(warehouse, t),
+                        "fields": fields,
                         "watermark": batch_stats.get("watermark"),
                         "max_lsn": batch_stats.get("max_lsn"),
                         **m,

@@ -529,40 +529,244 @@ FROM events GROUP BY 1, 2
 """
 
 
-# --- non-SQL-expressible ops (rows-only driver check) ----------------------
-
 def q_minhash_near_dup(spark, sf_dir):
+    # MinHash+LSH near-dup with the md5 hash family — the full candidate
+    # generation (signatures → banding → bucket join) is reproduced by
+    # the DuckDB oracle, so this is hash-checked end to end.
     docs = _r(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
-    return lsh_candidate_pairs(sigs, num_bands=16, threshold=0.3)
+    sigs = minhash_signatures(
+        docs, num_hashes=32, shingle_k=3, hash_fn="md5"
+    ).filter(F.size("shingles") > 0)
+    pairs = lsh_candidate_pairs(
+        sigs, num_bands=16, threshold=0.3, num_hashes=32, band_hash="md5"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
+
+def _minhash_pair_ctes() -> str:
+    """Shared DuckDB CTE block reproducing minhash_signatures(md5) +
+    lsh_candidate_pairs(md5) exactly: 3-word shingles, 32 md5 min-hashes,
+    16 bands of 2, exact-Jaccard verify."""
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{i}:' || x)))"
+        for i in range(32)
+    )
+    return f"""
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shingles
+  FROM w
+), s AS (
+  SELECT doc_id, shingles, [{sig}] AS sig FROM sh WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, t.b AS band,
+         md5(array_to_string(list_slice(sig, t.b * 2 + 1, t.b * 2 + 2), '|')) AS bh
+  FROM s, (SELECT unnest(range(0, 16)) AS b) t
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)"""
+
+
+def _o_minhash_near_dup() -> str:
+    return (
+        "WITH "
+        + _minhash_pair_ctes()
+        + "\nSELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= 0.3"
+    )
+
+
+def _o_dedup_exact_clusters() -> str:
+    # connected components over the near-dup pair graph via a recursive
+    # CTE (min reachable node id = component id), then keep canonical
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pair_ctes()
+        + """
+, pr AS (
+  SELECT id_a, id_b FROM scored WHERE j >= 0.3
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+), walk(node, reach) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT w2.node, e.b FROM walk w2 JOIN e ON e.a = w2.reach
+), comp AS (
+  SELECT node, MIN(reach) AS comp FROM walk GROUP BY node
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)"""
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    # axis-plane LSH buckets (sign of the first 6 dims) + Hamming-1
+    # multiprobe + exact cosine rerank — deterministic and fully
+    # reproduced by the DuckDB oracle.
+    emb = _r(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hyperplane_lsh_topk(
+        queries, emb, k=10, n_planes=6, dim=64, planes="axis"
+    ).select("query_id", "candidate_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+def _o_lsh_ann_topk() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(6)
+    )
+    probes = ", ".join(
+        ["b0"] + [f"xor(b0, CAST({1 << j} AS BIGINT))" for j in range(6)]
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS b0 FROM b WHERE vec_id < 5
+), p AS (
+  SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q
+), pairs AS (
+  SELECT p.query_id, c.vec_id AS candidate_id,
+         list_sum(list_transform(list_zip(p.qv, c.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(p.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+         AS sim
+  FROM b c JOIN p ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, candidate_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, candidate_id) AS rank
+  FROM pairs
+) WHERE rank <= 10
+"""
+
+
+# --- non-SQL-expressible ops (rows-only driver check) ----------------------
 
 def q_simhash_signatures(spark, sf_dir):
     docs = _r(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
-def q_lsh_ann_topk(spark, sf_dir):
-    emb = _r(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return hyperplane_lsh_topk(queries, emb, k=10, n_planes=6, dim=64).select(
-        "query_id", "candidate_id", F.round("sim", 4).alias("sim"), "rank"
+def q_cdc_replay_final_state(spark, sf_dir):
+    """Flagship, oracle-checked: the CDC engine end-to-end.
+
+    A change feed is derived deterministically from the ``events`` table
+    (lsn = event_id, key/table derived from event_id, op 'D' on 'error'
+    events, tokens a closed-form integer sequence), replayed through the
+    streaming merge engine in multiple epochs (LWW upserts + deletes +
+    exactly-once ledger + compaction all exercised), and the merged
+    multi-table final state is read back from the lakehouse. ``tok_sum``
+    verifies the *stored token arrays* value-by-value against the
+    oracle's closed-form sum; the DuckDB oracle recomputes the expected
+    LWW final state with QUALIFY over the same derivation."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from multi_table_plugins_spark.streaming import replay_feed_batches
+
+    ev = _r(spark, sf_dir, "events")
+    k = (F.col("event_id") % 997).cast("long")
+    st = (F.col("event_id") % 100).cast("int")
+    n = (F.col("event_id") % 37 + 1).cast("int")
+    is_del = F.col("event_type") == "error"
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.concat(F.lit("t"), (k % 4).cast("string")).alias("table_name"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("d"), k.cast("string")).alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(
+            F.sequence(st, st + n - F.lit(1))
+        ).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int")).otherwise(n).alias("n_tok"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+        F.col("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="mtp_flagship_")
+    feed_dir = os.path.join(work, "feed")
+    wh = os.path.join(work, "wh")
+    feed.repartitionByRange(4, "lsn").write.parquet(feed_dir)
+    files = sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir)
+        if f.endswith(".parquet")
+    )
+    replay_feed_batches(spark, files, wh, files_per_batch=2, n_buckets=8)
+    out = None
+    for i in range(4):
+        t = f"t{i}"
+        df = (
+            LakeTable(spark, os.path.join(wh, t))
+            .read()
+            .withColumn("table_name", F.lit(t))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "table_name",
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
     )
 
 
-def q_cdc_replay_final_state(spark, sf_dir):
-    # the engine itself as a query: deterministic feed → merged state
-    return entry(spark)
+O_CDC_REPLAY = """
+WITH c AS (
+  SELECT event_id % 997 AS k,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS source,
+         CAST(event_id % 37 + 1 AS INT) AS n,
+         CAST(event_id % 100 AS BIGINT) AS st
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn FROM c
+)
+SELECT 't' || CAST(k % 4 AS VARCHAR) AS table_name,
+       'd' || CAST(k AS VARCHAR) AS doc_id,
+       n AS n_tok,
+       source,
+       CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) AS tok_sum
+FROM r
+WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def q_dedup_exact_clusters(spark, sf_dir):
     # iterative connected-components over the near-dup pair graph →
-    # exact cluster dedup (non-SQL: driver-controlled fixpoint loop)
+    # exact cluster dedup. The driver-controlled fixpoint loop is
+    # engine-side; the oracle recomputes it with a recursive CTE.
     from multi_table_plugins_spark.operators.components import dedup_keep_canonical
 
     docs = _r(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
-    pairs = lsh_candidate_pairs(sigs, num_bands=16, threshold=0.3)
+    sigs = minhash_signatures(
+        docs, num_hashes=32, shingle_k=3, hash_fn="md5"
+    ).filter(F.size("shingles") > 0)
+    pairs = lsh_candidate_pairs(
+        sigs, num_bands=16, threshold=0.3, num_hashes=32, band_hash="md5"
+    )
     return dedup_keep_canonical(docs, pairs).select("doc_id", "source")
 
 
@@ -620,7 +824,10 @@ def oracle_sql() -> dict[str, str]:
         "scalar_functions": O_SCALAR_FUNCTIONS,
         "pricing_summary": O_PRICING,
         "hourly_rollup": O_HOURLY,
-        # minhash_near_dup / simhash_signatures / lsh_ann_topk /
-        # cdc_replay_final_state: engine-internal (hash seeds / LSH planes /
-        # lakehouse state) — not ANSI-SQL-expressible → rows-only check
+        "cdc_replay_final_state": O_CDC_REPLAY,
+        "minhash_near_dup": _o_minhash_near_dup(),
+        "lsh_ann_topk": _o_lsh_ann_topk(),
+        "dedup_exact_clusters": _o_dedup_exact_clusters(),
+        # simhash_signatures: engine-internal xxhash64 bit votes — not
+        # ANSI-SQL-expressible → rows-only check
     }

@@ -78,6 +78,23 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return out
 
 
+def _axis_bucket_expr(vec_col: str, n_planes: int):
+    """Axis-aligned sign buckets: bit j set iff vec[j] > 0 — the one-hot
+    special case of hyperplane LSH. No dot products (element lookups
+    only) and, unlike seeded random planes, reproducible in ANSI SQL."""
+    bits = [
+        F.when(
+            F.element_at(F.col(vec_col), j + 1).cast("double") > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def hyperplane_lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -90,18 +107,27 @@ def hyperplane_lsh_topk(
     c_id: str = "vec_id",
     q_vec: str = "embedding",
     c_vec: str = "embedding",
+    planes: str = "random",
 ) -> DataFrame:
     """Bucketed ANN: compare only within the query's LSH bucket(s).
 
     ``multiprobe`` additionally probes every Hamming-1 neighbor bucket
     (flip one hyperplane sign) — the standard recall/cost dial: probes
     n_planes+1 of 2^n_planes buckets instead of 1. Verified against
-    :func:`cosine_topk` recall in tests."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    :func:`cosine_topk` recall in tests.
+
+    ``planes="axis"`` buckets on the sign of the first ``n_planes``
+    vector elements instead of seeded random hyperplanes — cheaper (no
+    dot products) and ANSI-SQL-reproducible (DuckDB oracle parity)."""
+    if planes == "axis":
+        bucket_of = lambda col: _axis_bucket_expr(col, n_planes)  # noqa: E731
+    else:
+        plane_vecs = _hyperplanes(dim, n_planes, seed)
+        bucket_of = lambda col: _bucket_expr(col, plane_vecs)  # noqa: E731
     qbase = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_vec).alias("_qv"),
-        _bucket_expr(q_vec, planes).alias("_b0"),
+        bucket_of(q_vec).alias("_b0"),
     )
     if multiprobe:
         probes = F.array(
@@ -116,7 +142,7 @@ def hyperplane_lsh_topk(
     cb = candidates.select(
         F.col(c_id).alias("candidate_id"),
         F.col(c_vec).alias("_cv"),
-        _bucket_expr(c_vec, planes).alias("_bucket"),
+        bucket_of(c_vec).alias("_bucket"),
     )
     joined = cb.join(F.broadcast(qb), "_bucket").filter(
         F.col("query_id") != F.col("candidate_id")

@@ -164,6 +164,102 @@ FROM a GROUP BY split_id
 """
 
 
+def q_pk_range_splits_ts(spark, sf_dir):
+    # S6 typed splitter: timestamp PK → epoch seconds → integer splitter
+    # (Hadoop DateSplitter semantics, MultiTableDBInputFormat.java:217-251)
+    df = assign_range_splits(_r(spark, sf_dir, "orders"), "o_orderdate", 4)
+    return (
+        df.groupBy("split_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+        .select(F.col("split_id").cast("int").alias("split_id"), "cnt", "lo", "hi")
+    )
+
+
+O_PK_RANGE_SPLITS_TS = """
+WITH b AS (SELECT MIN(CAST(epoch(o_orderdate) AS BIGINT)) AS mn,
+                  MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS mx FROM orders),
+a AS (
+  SELECT LEAST(CAST(FLOOR((CAST(epoch(o_orderdate) AS BIGINT) - b.mn)
+                          / ((b.mx - b.mn + 1) / 4.0)) AS INT), 3) AS split_id,
+         o_orderdate
+  FROM orders, b
+)
+SELECT split_id, COUNT(*) AS cnt, MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+FROM a GROUP BY split_id
+"""
+
+
+def q_pk_range_splits_float(spark, sf_dir):
+    # S6 typed splitter: double PK → continuous equal-width ranges
+    # (BigDecimalSplitter semantics: no +1, last range closed)
+    df = assign_range_splits(_r(spark, sf_dir, "orders"), "o_totalprice", 4)
+    return (
+        df.groupBy("split_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(F.col("split_id").cast("int").alias("split_id"), "cnt", "lo", "hi")
+    )
+
+
+O_PK_RANGE_SPLITS_FLOAT = """
+WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+a AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - b.mn) / ((b.mx - b.mn) / 4.0)) AS INT), 3) AS split_id,
+         o_totalprice
+  FROM orders, b
+)
+SELECT split_id, COUNT(*) AS cnt, ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM a GROUP BY split_id
+"""
+
+
+def _text_frac_sql(col: str, max_chars: int = 8) -> str:
+    terms = [
+        f"(CASE WHEN length({col}) >= {i} THEN ascii(substr({col}, {i}, 1)) "
+        f"ELSE 0 END) / {float(256 ** i)!r}"
+        for i in range(1, max_chars + 1)
+    ]
+    return " + ".join(terms)
+
+
+def q_pk_range_splits_text(spark, sf_dir):
+    # S6 typed splitter: string PK → base-256 fraction interpolation
+    # (Hadoop TextSplitter semantics)
+    df = assign_range_splits(_r(spark, sf_dir, "part"), "p_name", 4)
+    return (
+        df.groupBy("split_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("p_name").alias("lo"),
+            F.max("p_name").alias("hi"),
+        )
+        .select(F.col("split_id").cast("int").alias("split_id"), "cnt", "lo", "hi")
+    )
+
+
+def _o_pk_range_splits_text() -> str:
+    frac = _text_frac_sql("p_name")
+    return f"""
+WITH f AS (SELECT p_name, ({frac}) AS fr FROM part),
+b AS (SELECT MIN(fr) AS mn, MAX(fr) AS mx FROM f),
+a AS (
+  SELECT LEAST(CAST(FLOOR((fr - b.mn) / ((b.mx - b.mn) / 4.0)) AS INT), 3) AS split_id,
+         p_name
+  FROM f, b
+)
+SELECT split_id, COUNT(*) AS cnt, MIN(p_name) AS lo, MAX(p_name) AS hi
+FROM a GROUP BY split_id
+"""
+
+
 def q_lww_latest_by_key(spark, sf_dir):
     # LSN-style last-writer-wins dedup (ranking window)
     ev = _r(spark, sf_dir, "events")
@@ -777,6 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_pushdown": q_projection_pushdown,
         "split_bounds": q_split_bounds,
         "pk_range_splits": q_pk_range_splits,
+        "pk_range_splits_ts": q_pk_range_splits_ts,
+        "pk_range_splits_float": q_pk_range_splits_float,
+        "pk_range_splits_text": q_pk_range_splits_text,
         "lww_latest_by_key": q_lww_latest_by_key,
         "cdc_final_state": q_cdc_final_state,
         "ingesttime_stamp": q_ingesttime_stamp,
@@ -808,6 +907,9 @@ def oracle_sql() -> dict[str, str]:
         "projection_pushdown": O_PROJECTION,
         "split_bounds": O_SPLIT_BOUNDS,
         "pk_range_splits": O_PK_RANGE_SPLITS,
+        "pk_range_splits_ts": O_PK_RANGE_SPLITS_TS,
+        "pk_range_splits_float": O_PK_RANGE_SPLITS_FLOAT,
+        "pk_range_splits_text": _o_pk_range_splits_text(),
         "lww_latest_by_key": O_LWW,
         "cdc_final_state": O_CDC_FINAL,
         "ingesttime_stamp": O_INGESTTIME,

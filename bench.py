@@ -14,7 +14,7 @@ Two parts:
      query wall seconds.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-MTP_BENCH_EVENTS (default 6M), MTP_BENCH_REPS,
+MTP_BENCH_EVENTS (default 12M), MTP_BENCH_REPS,
 MTP_BENCH_SKIP_SCALING=1 to time only the peak level.
 """
 
@@ -34,7 +34,11 @@ from multi_table_plugins_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("MTP_BENCH_EVENTS", "6000000"))
+# 12M events: the replay must be LONG relative to the ~2.5s of
+# parallelism-independent cost per replay (streaming triggers + driver
+# commit IO — measured, see BASELINE.md), or the N-vs-4N ratio measures
+# that fixed cost instead of the engine. 12M ≈ 80s at 2 cores.
+N_EVENTS = int(os.environ.get("MTP_BENCH_EVENTS", "12000000"))
 CDC_REPS = int(os.environ.get("MTP_BENCH_REPS", "3"))
 # files per trigger: 128 feed files / 64 = 2 micro-batches per replay.
 # Larger batches dilute the fixed per-trigger cost (planning, offset WAL,
@@ -174,22 +178,40 @@ def run_scaling(core_levels: list[int], feed_dir: str, reps: int = CDC_REPS) -> 
         return _json.loads(proc.stdout.strip().splitlines()[-1])["walls"]
 
     # one FRESH taskset-pinned JVM per level (an N-core executor must not
-    # borrow host cores for GC/JIT threads); inside it: one full-size
-    # warmup replay (C2 JIT) then `reps` timed replays, best kept
+    # borrow host cores for GC/JIT threads); inside it: one warmup replay
+    # (C2 JIT) then `reps` timed replays, best kept
     walls_by_level: dict[int, list[float]] = {}
-    for c in core_levels:
-        # the scaling-gate levels get more reps: short runs on a noisy
-        # shared VM need more samples (8-core runs are cheap — sample 4);
-        # the peak level is stable
-        level_reps = reps + 1 if c == 8 else (reps if c <= 8 else max(reps - 1, 1))
-        walls_by_level[c] = one_level(c, level_reps)
 
-    # Adaptive convergence for the N→4N pair: per-level minima are monotone
-    # estimators of true machine capability (noise only ever ADDS time), so
-    # when the efficiency lands outside the physically sensible band —
-    # super-linear (>1.0: small level was noise-inflated) or far sub-linear
-    # while the curve says it shouldn't be — buy extra samples for the
-    # noisier level and let the min converge.
+    def converged(walls: list[float], tol: float = 0.05) -> bool:
+        """Best-of-k has stabilized: the two smallest samples agree within
+        ``tol``. Noise on a shared VM only ever ADDS time, so the min is a
+        monotone estimator of true machine capability — but a min seen
+        only ONCE is not yet evidence (the driver's round-1 run recorded a
+        still-descending [87, 46, 42] series at 2 cores and under-reported
+        the gate). Two independent samples near the floor are. 5% / 2
+        extras: tighter tolerances measured as unreachable on this VM
+        (minute-scale load drift), they just burn the time budget."""
+        if len(walls) < 2:
+            return False
+        a, b = sorted(walls)[:2]
+        return (b - a) / a <= tol
+
+    for c in core_levels:
+        level_reps = reps + 1 if c == 8 else (reps if c <= 8 else max(reps - 1, 1))
+        walls = one_level(c, level_reps)
+        # gate levels: buy extra time-separated samples until best-of-k
+        # converges (fresh subprocess per extra = minutes apart, which
+        # decorrelates the noise)
+        if c in (2, 8):
+            extra = 0
+            while not converged(walls) and extra < 2:
+                walls += one_level(c, 1)
+                extra += 1
+        walls_by_level[c] = walls
+
+    # Safety valve for the N→4N pair: if the efficiency still lands
+    # super-linear (>1.02: the small level's min is noise-inflated), buy
+    # extra samples for the 2-core level and let the min converge.
     if 2 in walls_by_level and 8 in walls_by_level:
         for _ in range(2):
             eff = (min(walls_by_level[2]) / min(walls_by_level[8])) / 4
@@ -226,14 +248,24 @@ def _warmup_feed_dir() -> str:
 
 
 def cdc_run_child(cores: int, feed_dir: str, reps: int) -> None:
-    """Subprocess body: one full-size warmup replay (C2 compilation of the
+    """Subprocess body: one warmup replay (C2 compilation of the
     scan/shuffle/parquet hot loops needs batches of profile) + ``reps``
-    timed replays; prints one JSON line. At tiny core counts a run is
-    long enough to self-warm, so the separate warmup is skipped and the
-    best-of-reps discards the cold first rep."""
+    timed replays; prints one JSON line. Warmup is NEVER skipped — a cold
+    JVM's first replay measured 2x the warm floor even at 2 cores (and a
+    second rep is still ~10% off), which is exactly the error that
+    corrupts the N-vs-4N gate. At <=2 cores the warmup uses a smaller
+    same-shape feed so it costs seconds, not a full replay."""
+    _clean_scratch()
     if cores > 2:
-        _clean_scratch()
         _one_cdc_run(cores, feed_dir)
+    else:
+        # two small-feed warmups: the first compiles, the second settles
+        # allocation/page-cache state — measured to put the first timed
+        # rep within ~10% of the floor instead of 2x off
+        small = _warmup_feed_dir()
+        _one_cdc_run(cores, small)
+        _clean_scratch()
+        _one_cdc_run(cores, small)
     walls = []
     for _ in range(reps):
         _clean_scratch()

@@ -49,16 +49,10 @@ def is_safe_table_name(name: str) -> bool:
     return bool(SAFE_TABLE_RE.match(name))
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
-from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform
+from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform, _footer_rows
 
 _BUCKET_COL = "_bucket"
 _TABLE_COL = "_table"
-
-
-def _footer_rows(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
 
 
 def merge_many(
@@ -207,24 +201,46 @@ def merge_many(
         d for d in os.listdir(staging) if d.startswith(f"{_TABLE_COL}=")
     )
     # per-table registration is driver-side IO (link + footer + JSON) —
-    # run it threaded so 100 tables don't serialize the micro-batch
+    # run it threaded so 100 tables don't serialize the micro-batch.
+    # Exceptions are collected per table (not propagated out of ex.map)
+    # and staging removal runs in finally: a failing table (e.g. the
+    # n_buckets layout-mismatch refusal) must neither abort its siblings'
+    # commits nor leak the staging directory on every fallback retry.
     from concurrent.futures import ThreadPoolExecutor
 
-    if len(tdirs) > 1:
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            list(ex.map(_commit_table, tdirs))
-    else:
-        for d in tdirs:
-            _commit_table(d)
+    commit_failures: dict[str, BaseException] = {}
 
-    shutil.rmtree(staging, ignore_errors=True)
-    # remove the shared staging parent when no other batch is mid-flight
-    parent = os.path.dirname(staging)
+    def _commit_guarded(tdir: str) -> None:
+        try:
+            _commit_table(tdir)
+        except BaseException as e:
+            commit_failures[tdir.split("=", 1)[1]] = e
+
     try:
-        if not os.listdir(parent):
-            os.rmdir(parent)
-    except OSError:
-        pass
+        if len(tdirs) > 1:
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(_commit_guarded, tdirs))
+        else:
+            for d in tdirs:
+                _commit_guarded(d)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        # remove the shared staging parent when no other batch is mid-flight
+        parent = os.path.dirname(staging)
+        try:
+            if not os.listdir(parent):
+                os.rmdir(parent)
+        except OSError:
+            pass
+
+    if commit_failures:
+        # committed tables' ledgers make the retry a no-op for them; the
+        # caller's isolated fallback path re-applies only the failures
+        first_t, first_e = sorted(commit_failures.items())[0]
+        raise RuntimeError(
+            f"commit failed for table(s) {sorted(commit_failures)}: "
+            f"{first_t}: {first_e}"
+        ) from first_e
     results["_batch"] = {
         "rows_in": got.get("rows_in", 0),
         "deletes": got.get("deletes", 0) or 0,

@@ -74,6 +74,14 @@ class CommitConflict(RuntimeError):
     """Another writer published this manifest version first."""
 
 
+def _footer_rows(path: str) -> int:
+    """Row count from the parquet footer — driver-side metadata read,
+    no Spark job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _conform(df: DataFrame, schema: StructType) -> DataFrame:
     """Project/cast ``df`` to exactly ``schema`` (missing cols → NULL)."""
     cols = []
@@ -316,7 +324,6 @@ class LakeTable:
         m = json.loads(json.dumps(self.manifest()))
         entries = [e for b in buckets for e in m["buckets"][b].get("base", [])]
         df = self._read_files(entries, target, m)
-        before = df.count()
         kept = df.filter(
             ~(
                 F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -333,7 +340,15 @@ class LakeTable:
         )
         self._advance(m)
         self._publish(m)
-        return {"vacuumed": before - self._scan(include_tombstones=True).count()}
+        # row deltas from manifest/footer metadata — the rewrite job is
+        # the only Spark job this maintenance op runs (no counting scans)
+        before = sum(
+            e.get("rows") if e.get("rows") is not None
+            else _footer_rows(os.path.join(self.path, e["path"]))
+            for e in entries
+        )
+        after = sum(e["rows"] for es in new_entries.values() for e in es)
+        return {"vacuumed": before - after}
 
     # ------------------------------------------------------------------
     # write path
@@ -370,6 +385,10 @@ class LakeTable:
                         "path": os.path.join(rel, bdir, fn),
                         "sv": sv,
                         "bytes": os.path.getsize(full),
+                        # footer-read row count: lets metrics (vacuumed
+                        # rows, rows_applied) come from the manifest
+                        # instead of extra counting jobs
+                        "rows": _footer_rows(full),
                     }
                 )
         return entries
@@ -397,6 +416,7 @@ class LakeTable:
         app_id: str,
         epoch: int | None,
         stats: dict | None = None,
+        compact: bool | None = None,
     ) -> dict:
         """Commit pre-written delta files (one atomic manifest publish).
 
@@ -447,11 +467,12 @@ class LakeTable:
                 f"gave up after 10 commit attempts at {self.path}"
             )
         threshold = m["compact_threshold"]
+        if compact is None:
+            compact = m["mode"] == "cow"
         to_compact = [
             b
             for b, v in m["buckets"].items()
-            if v.get("delta")
-            and (m["mode"] == "cow" or len(v["delta"]) >= threshold)
+            if v.get("delta") and (compact or len(v["delta"]) >= threshold)
         ]
         if to_compact:
             self.compact(to_compact)
@@ -473,18 +494,29 @@ class LakeTable:
     def evolve_schema_for(self, incoming_payload: StructType) -> int:
         """Merge ``incoming_payload`` into the table schema if it brings
         added columns / widened types; returns the current schema version.
-        Publishes a schema-only commit when evolution is needed."""
-        cur = self.schema()
-        merged = merge_schemas(cur, incoming_payload)
-        if merged.json() == cur.json():
-            return self.manifest()["current_schema_version"]
-        m = json.loads(json.dumps(self.manifest()))  # deep copy
-        new_sv = m["current_schema_version"] + 1
-        m["schemas"][str(new_sv)] = merged.json()
-        m["current_schema_version"] = new_sv
-        self._advance(m)
-        self._publish(m)
-        return new_sv
+        Publishes a schema-only commit when evolution is needed. A
+        version race (CommitConflict) reloads the winner's manifest and
+        re-merges — schema merge is monotonic/commutative, so re-applying
+        on top of a concurrent commit is always safe."""
+        for _ in range(10):
+            cur = self.schema()
+            merged = merge_schemas(cur, incoming_payload)
+            if merged.json() == cur.json():
+                return self.manifest()["current_schema_version"]
+            m = json.loads(json.dumps(self.manifest()))  # deep copy
+            new_sv = m["current_schema_version"] + 1
+            m["schemas"][str(new_sv)] = merged.json()
+            m["current_schema_version"] = new_sv
+            self._advance(m)
+            try:
+                self._publish(m)
+                return new_sv
+            except CommitConflict:
+                self._manifest_cache_version = -1  # force reload
+                continue
+        raise CommitConflict(
+            f"gave up after 10 schema-evolution attempts at {self.path}"
+        )
 
     def _advance(self, m: dict) -> None:
         m["parent_snapshot_id"] = m["snapshot_id"]
@@ -550,47 +582,38 @@ class LakeTable:
             F.sum(F.col(DELETED_COL).cast("int")).alias("deletes"),
         ).withColumn(_BUCKET_COL, self._bucket_expr())
 
-        m = json.loads(json.dumps(self.manifest()))
-        new_entries = self._write_data_files(bucketed, m["version"] + 1, "delta")
+        new_entries = self._write_data_files(
+            bucketed, self.manifest()["version"] + 1, "delta"
+        )
 
         got = obs.get
         rows = got.get("rows", 0)
         n_del_row = got.get("deletes", 0) or 0
-        bytes_written = sum(e["bytes"] for es in new_entries.values() for e in es)
 
-        for bucket, es in new_entries.items():
-            b = m["buckets"].setdefault(bucket, {"base": [], "delta": []})
-            b["delta"].extend(es)
-        if epoch is not None:
-            m["committed"][app_id] = epoch
-        m["stats"]["total_files"] = sum(
-            len(b.get("base", [])) + len(b.get("delta", []))
-            for b in m["buckets"].values()
+        # Publish through commit_delta: delta commits are append-only, so
+        # its reload-and-retry loop makes a concurrent compaction/vacuum
+        # (CommitConflict) a retried commit instead of a dropped batch.
+        result = self.commit_delta(
+            new_entries,
+            self.schema(),
+            app_id,
+            epoch,
+            stats={"rows_applied": rows, "deletes": n_del_row},
+            compact=compact,
         )
-        self._advance(m)
-        self._publish(m)
+        if result.get("skipped"):
+            # epoch raced to committed while we were writing — discard
+            # the unreferenced files (readers only see manifest entries)
+            import shutil
 
-        if compact is None:
-            compact = m["mode"] == "cow"
-        threshold = m["compact_threshold"]
-        to_compact = [
-            b
-            for b, v in m["buckets"].items()
-            if v.get("delta") and (compact or len(v["delta"]) >= threshold)
-        ]
-        if to_compact:
-            self.compact(to_compact)
-
-        return {
-            "skipped": False,
-            "rows_applied": rows,
-            "deletes": n_del_row,
-            "buckets_touched": sorted(new_entries.keys(), key=int),
-            "files_written": sum(len(v) for v in new_entries.values()),
-            "bytes_written": bytes_written,
-            "snapshot_id": self.snapshot_id(),
-            "schema_version": self.manifest()["current_schema_version"],
-        }
+            dirs = {
+                os.path.dirname(os.path.dirname(e["path"]))
+                for es in new_entries.values()
+                for e in es
+            }
+            for d in dirs:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return result
 
     def compact(self, buckets: list[str] | None = None) -> dict:
         """Fold delta files into the base for ``buckets`` (default: all

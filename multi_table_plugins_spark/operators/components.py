@@ -36,17 +36,33 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         # propagate: each node's candidate = min(own comp, neighbors' comps)
         neigh = (
             edges.join(labels, edges["b"] == labels["node"], "inner")
             .select(F.col("a").alias("node"), F.col("comp"))
         )
-        new_labels = (
+        prop = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+        )
+        # pointer jumping: re-map every label to ITS label's label
+        # (comp -> comp's comp), squaring the label graph — label depth
+        # halves per round, so convergence is O(log diameter) rounds
+        # instead of O(diameter)
+        jump = prop.select(F.col("node").alias("_j_node"), F.col("comp").alias("_j_comp"))
+        new_labels = (
+            prop.join(jump, prop["comp"] == jump["_j_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_j_comp"), F.col("comp")).alias("comp"),
+            )
+            # localCheckpoint truncates the logical plan: the iterated
+            # join otherwise nests the plan tree exponentially and blows
+            # up the OPTIMIZER (heap) long before the data is large
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -58,8 +74,17 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silently returning partial labels would split components and
+        # leave duplicates behind in dedup_keep_canonical
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (label-graph diameter too large); raise "
+            "max_iter — pointer jumping needs only O(log diameter) rounds"
+        )
     return labels.select("node", "comp")
 
 

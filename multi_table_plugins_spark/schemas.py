@@ -106,8 +106,12 @@ def merge_types(old: DataType, new: DataType, path: str = "") -> DataType:
     """Return the widened type covering both ``old`` and ``new``.
 
     Widening rules (one-way, lossless): integral → wider integral,
-    integral → double, float → double, decimal(p1,s) + decimal(p2,s) →
-    decimal(max,s). Anything else must match exactly.
+    byte/short/int → double (exact: |int| < 2^53), float → double,
+    decimal(p1,s) + decimal(p2,s) → decimal(max,s). LONG mixed with a
+    fractional type is REJECTED — double has 53 mantissa bits, so
+    long → double silently corrupts values above 2^53 (Iceberg's
+    promotion rules likewise only allow int → long and float → double).
+    Anything else must match exactly.
     """
     if old == new:
         return old
@@ -116,9 +120,11 @@ def merge_types(old: DataType, new: DataType, path: str = "") -> DataType:
     if (old in _INTEGRAL or old in _FRACTIONAL) and (
         new in _INTEGRAL or new in _FRACTIONAL
     ):
-        # mixing integral and fractional (or float/double) → double
-        if old in _FRACTIONAL and new in _FRACTIONAL:
-            return DoubleType()
+        if LongType() in (old, new):
+            raise SchemaEvolutionError(
+                f"refusing lossy widening at {path!r}: {old} + {new} "
+                "(long -> double corrupts values above 2^53)"
+            )
         return DoubleType()
     if isinstance(old, DecimalType) and isinstance(new, DecimalType):
         if old.scale == new.scale:
@@ -164,6 +170,69 @@ def merge_schemas(old: StructType, new: StructType, path: str = "") -> StructTyp
         if f.name in by_name:
             fields.append(StructField(f.name, f.dataType, True))
     return StructType(fields)
+
+
+def jdbc_type_to_spark(
+    sql_type: str,
+    precision: int | None = None,
+    scale: int | None = None,
+    signed: bool = True,
+) -> DataType:
+    """JDBC/SQL type name → Spark type, the DBTypes.java:73-135 mapping
+    restated for Spark (SURVEY §1.2 table):
+
+      * TINYINT/SMALLINT/INTEGER widen to INT (DBTypes.java:84-87)
+      * signed BIGINT → LONG; unsigned BIGINT → DECIMAL(p,s) for
+        overflow safety (DBTypes.java:89-94)
+      * NUMERIC/DECIMAL require precision > 0 (DBTypes.java:100-102)
+      * TIME → LONG micros since midnight (TIME_MICROS,
+        DBTypes.java:108-109 — Spark has no TIME type)
+      * TIMESTAMP → TimestampType in UTC (DBTypes.java:110-111)
+      * ARRAY/STRUCT/REF are rejected like the reference
+        (DBTypes.java:129-133); our engine's token arrays enter through
+        the change-feed envelope, not a JDBC scan.
+    """
+    from pyspark.sql.types import BinaryType, BooleanType, DateType
+
+    t = sql_type.strip().upper()
+    if t in ("BOOLEAN", "BIT"):
+        return BooleanType()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "INT"):
+        return IntegerType()
+    if t == "BIGINT":
+        if signed:
+            return LongType()
+        if not precision:
+            raise SchemaEvolutionError("unsigned BIGINT needs a precision")
+        return DecimalType(precision, scale or 0)
+    if t in ("REAL", "FLOAT"):
+        return FloatType()
+    if t == "DOUBLE":
+        return DoubleType()
+    if t in ("NUMERIC", "DECIMAL"):
+        if not precision or precision <= 0:
+            raise SchemaEvolutionError(
+                f"{t} with undefined precision is not supported "
+                "(DBTypes.java:137-147 rejects precision 0)"
+            )
+        return DecimalType(precision, scale or 0)
+    if t == "DATE":
+        return DateType()
+    if t == "TIME":
+        return LongType()  # micros since midnight (TIME_MICROS)
+    if t == "TIMESTAMP":
+        return TimestampType()
+    if t in ("CHAR", "VARCHAR", "LONGVARCHAR", "CLOB", "NCHAR", "NVARCHAR", "NCLOB"):
+        return StringType()
+    if t in ("BINARY", "VARBINARY", "LONGVARBINARY", "BLOB"):
+        return BinaryType()
+    raise SchemaEvolutionError(f"unsupported SQL type {sql_type!r}")
+
+
+def time_to_micros(hours: int, minutes: int, seconds: int, micros: int = 0) -> int:
+    """TIME-of-day → the TIME_MICROS long the engine stores
+    (DBTypes.java:163-164 read path)."""
+    return ((hours * 60 + minutes) * 60 + seconds) * 1_000_000 + micros
 
 
 def schema_from_json(s: str) -> StructType:

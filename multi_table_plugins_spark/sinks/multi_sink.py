@@ -32,13 +32,22 @@ FORMATS = ("csv", "json", "parquet", "orc", "avro")
 
 
 def avro_available(spark: SparkSession) -> bool:
+    """True iff the external spark-avro module is on the classpath
+    (package ``org.apache.spark:spark-avro_2.13`` — not bundled with
+    pyspark). Probes with a zero-row write into a throwaway tempdir."""
+    import shutil
+    import tempfile
+
+    probe = tempfile.mkdtemp(prefix="avro_probe_")
     try:
         spark.range(0).write.format("avro").mode("overwrite").save(
-            os.path.join("/tmp", ".avro_probe")
+            os.path.join(probe, "p")
         )
         return True
     except Exception:
         return False
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
 
 
 def write_multi_table(
@@ -66,6 +75,22 @@ def write_multi_table(
 
         ingest_time = int(time.time())
     out = df.withColumn("ingesttime", F.lit(ingest_time).cast("long"))
+    if fmt == "csv":
+        # delimited-text encoder policy (StructuredToTextTransformer.java:
+        # 63-81 parity): nested types are REJECTED loudly; BYTES columns
+        # are escaped to text — base64 here (the reference binary-escapes;
+        # base64 is the lossless, delimiter-safe equivalent)
+        from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+        for f in out.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                raise ValueError(
+                    f"delimited-text sink does not support nested column "
+                    f"{f.name!r} of type {f.dataType.simpleString()!r} "
+                    "(reference rejects ARRAY/MAP/RECORD in text mode)"
+                )
+            if isinstance(f.dataType, BinaryType):
+                out = out.withColumn(f.name, F.base64(F.col(f.name)))
     writer = out.write.partitionBy(split_field, "ingesttime").mode(mode)
     if fmt == "csv":
         writer = writer.option("sep", delimiter).option("header", "false")

@@ -34,34 +34,66 @@ from ..operators.router import union_tagged
 
 
 class MultiTableSource:
-    """Read many parquet tables as one tagged stream or a dict of frames."""
+    """Read many tables as one tagged stream or a dict of frames.
+
+    ``backend="parquet"`` (default) discovers ``<directory>/<t>.parquet``
+    tables; ``backend="jdbc"`` plans partitioned ``spark.read.jdbc``
+    reads instead (see sources/jdbc.py) — ``jdbc_conf`` must carry
+    ``url`` (+ optional driver/user/password/fetch_size/splits) and
+    ``tables`` (the table list; live metadata enumeration needs a
+    reachable server, which this sandbox does not have)."""
 
     def __init__(
         self,
         spark: SparkSession,
-        directory: str,
+        directory: str | None = None,
         allow_list: tuple[str, ...] = (),
         block_list: tuple[str, ...] = (),
         name_pattern: str | None = None,
         where: str | None = None,
         table_name_field: str = "tablename",
+        backend: str = "parquet",
+        jdbc_conf: dict | None = None,
     ):
         self.spark = spark
         self.directory = directory
-        self.tables = discover_parquet_tables(
-            directory,
-            allow_list=allow_list,
-            block_list=block_list,
-            name_pattern=name_pattern,
-        )
+        self.backend = backend
         self.where = where
         self.field = table_name_field
+        self._jdbc = None
+        if backend == "jdbc":
+            from .jdbc import JdbcMultiTableSource
+
+            conf = dict(jdbc_conf or {})
+            tables = conf.pop("tables", [])
+            self._jdbc = JdbcMultiTableSource(
+                spark,
+                where_clause=f"WHERE {where}" if where else None,
+                allow_list=allow_list,
+                block_list=block_list,
+                **conf,
+            )
+            self.tables = self._jdbc.discover(list(tables))
+        elif backend == "parquet":
+            self.tables = discover_parquet_tables(
+                directory,
+                allow_list=allow_list,
+                block_list=block_list,
+                name_pattern=name_pattern,
+            )
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
 
     def schema_of(self, table: str):
-        """Schema inference 'probe' — parquet footer read, zero data IO."""
+        """Schema inference 'probe' — parquet footer read (or the remote
+        ``WHERE 1=0`` probe Spark's JDBC source performs), zero data IO."""
         return self.read_table(table).schema
 
     def read_table(self, table: str) -> DataFrame:
+        if self._jdbc is not None:
+            from .jdbc import JdbcTableSpec
+
+            return self._jdbc.read_table(JdbcTableSpec(table=table))
         df = self.spark.read.parquet(os.path.join(self.directory, f"{table}.parquet"))
         if self.where:
             df = df.filter(F.expr(self.where))
@@ -82,17 +114,87 @@ def split_bounds(df: DataFrame, pk: str) -> tuple:
     return row["lo"], row["hi"]
 
 
+def text_fraction_expr(col, max_chars: int = 8):
+    """Map a string to a fraction in [0, 1) by base-256 interpolation over
+    its first ``max_chars`` character codes — the same idea as Hadoop's
+    TextSplitter (strings as base-N fractions), kept to plain ASCII
+    arithmetic so it is reproducible in ANSI SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lit(0.0)
+    for i in range(1, max_chars + 1):
+        code = F.when(F.length(c) >= i, F.ascii(F.substring(c, i, 1))).otherwise(
+            F.lit(0)
+        )
+        out = out + code.cast("double") / F.lit(float(256 ** i))
+    return out
+
+
 def assign_range_splits(df: DataFrame, pk: str, num_splits: int) -> DataFrame:
-    """Assign each row its PK-range split id, reproducing the integer
-    splitter semantics of MultiTableDBInputFormat.java:191-251: equal-width
+    """Assign each row its PK-range split id, reproducing the typed
+    splitter dispatch of MultiTableDBInputFormat.java:217-251 (integer /
+    date / float / decimal / boolean / text DBSplitters): equal-width
     ranges over [min, max], last range closed. Adds ``split_id``.
+
+    Type dispatch (worked example docs/MultiTableDatabase-batchsource.md:
+    148-153 is the integer case):
+      * integral — width ``(hi - lo + 1) / n`` over the closed int range
+      * date / timestamp — converted to epoch days / seconds, then the
+        integer splitter (Hadoop DateSplitter semantics)
+      * float / double / decimal — continuous width ``(hi - lo) / n``
+        (BigDecimalSplitter semantics; decimals interpolate as double)
+      * boolean — two splits: false -> 0, true -> min(1, n-1)
+      * string — base-256 fraction interpolation over the first 8 chars
+        (TextSplitter semantics), equal-width over [frac(lo), frac(hi)]
 
     In Spark this is informational (Spark parallelizes scans itself); it
     exists for parity tests and for routing work by range."""
-    lo, hi = split_bounds(df, pk)
-    width = (int(hi) - int(lo) + 1) / num_splits
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dt = df.schema[pk].dataType
+    col = F.col(pk)
+
+    if isinstance(dt, BooleanType):
+        sid = F.when(col, F.lit(min(1, num_splits - 1))).otherwise(F.lit(0))
+        return df.withColumn("split_id", sid.cast("int"))
+
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        val, closed = col.cast("long"), True
+    elif isinstance(dt, DateType):
+        # epoch days, then the integer splitter
+        val, closed = F.datediff(col, F.lit("1970-01-01")).cast("long"), True
+    elif isinstance(dt, (TimestampType, TimestampNTZType)):
+        # epoch seconds, then the integer splitter (NTZ must route through
+        # TIMESTAMP — session TZ is pinned UTC — before the long cast)
+        val, closed = col.cast("timestamp").cast("long"), True
+    elif isinstance(dt, (FloatType, DoubleType, DecimalType)):
+        val, closed = col.cast("double"), False
+    elif isinstance(dt, StringType):
+        val, closed = text_fraction_expr(pk), False
+    else:
+        raise TypeError(f"no range splitter for PK type {dt.simpleString()!r}")
+
+    row = df.select(val.alias("_v")).agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi == lo:
+        return df.withColumn("split_id", F.lit(0))
+    width = (hi - lo + (1 if closed else 0)) / num_splits
     sid = F.least(
-        F.floor((F.col(pk) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.floor((val - F.lit(lo)) / F.lit(width)).cast("int"),
         F.lit(num_splits - 1),
     )
     return df.withColumn("split_id", sid)

@@ -49,15 +49,41 @@ def _errors_path(warehouse: str) -> str:
     return os.path.join(warehouse, "_errors")
 
 
-def write_errors(df: DataFrame, warehouse: str) -> None:
-    df.write.mode("append").parquet(_errors_path(warehouse))
+def write_errors(
+    df: DataFrame,
+    warehouse: str,
+    app_id: str | None = None,
+    epoch: int | None = None,
+    kind: str = "misc",
+) -> None:
+    """Write error rows to the side channel.
+
+    With (app_id, epoch) the write goes to an epoch-keyed subdirectory in
+    ``overwrite`` mode, so a crash-replayed epoch REWRITES its
+    deterministic error rows instead of appending duplicates — the error
+    channel gets the same exactly-once semantics as the data path (whose
+    ledger skips the data commit on replay but used to re-append errors).
+    Without an epoch (ad-hoc callers) it appends to the channel root.
+    """
+    if epoch is None:
+        df.write.mode("append").parquet(_errors_path(warehouse))
+        return
+    sub = os.path.join(
+        _errors_path(warehouse), f"{app_id or 'cdc'}-e{epoch:08d}-{kind}"
+    )
+    df.write.mode("overwrite").parquet(sub)
 
 
 def read_errors(spark: SparkSession, warehouse: str) -> DataFrame:
     p = _errors_path(warehouse)
     if not os.path.isdir(p):
         return spark.createDataFrame([], errmod.ERROR_SCHEMA)
-    return spark.read.schema(errmod.ERROR_SCHEMA).parquet(p)
+    return (
+        spark.read.schema(errmod.ERROR_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(p)
+    )
 
 
 def apply_cdc_batch(
@@ -104,7 +130,9 @@ def apply_cdc_batch(
         if error_mode == FAIL:
             # strict mode: know about invalid rows BEFORE applying anything
             good, bad = split_valid_invalid(batch_df, reference_name=app_id)
-            _flush_validation_errors(spark, bad, warehouse, app_id, error_mode)
+            _flush_validation_errors(
+                spark, bad, warehouse, app_id, error_mode, epoch=epoch
+            )
         else:
             # count invalid rows on the apply job itself (no extra scan);
             # materialize them afterwards only if the count is non-zero
@@ -135,7 +163,8 @@ def apply_cdc_batch(
                 batch_dedup=batch_dedup,
             )
             batch_stats = results.pop("_batch", {})
-            for bad_name in batch_stats.get("unsafe_tables", []):
+            unsafe_names = batch_stats.get("unsafe_tables", [])
+            for bad_name in unsafe_names:
                 lineage.emit(
                     {
                         "kind": "table_rejected",
@@ -145,21 +174,25 @@ def apply_cdc_batch(
                         "error": "unsafe table name",
                     }
                 )
-                if error_mode == ERROR_PORT:
-                    write_errors(
-                        errmod.error_df(
-                            spark,
-                            [
-                                errmod.ErrorRecord(
-                                    reference_name=app_id,
-                                    error_message=f"unsafe table name {bad_name!r} rejected",
-                                    exception_class_name="UnsafeTableName",
-                                    table_name=bad_name,
-                                )
-                            ],
-                        ),
-                        warehouse,
-                    )
+            if unsafe_names and error_mode == ERROR_PORT:
+                write_errors(
+                    errmod.error_df(
+                        spark,
+                        [
+                            errmod.ErrorRecord(
+                                reference_name=app_id,
+                                error_message=f"unsafe table name {n!r} rejected",
+                                exception_class_name="UnsafeTableName",
+                                table_name=n,
+                            )
+                            for n in unsafe_names
+                        ],
+                    ),
+                    warehouse,
+                    app_id=app_id,
+                    epoch=epoch,
+                    kind="unsafe",
+                )
             if obs_v is not None and (obs_v.get.get("n_bad") or 0) > 0:
                 if error_mode == ERROR_PORT:
                     write_errors(
@@ -167,6 +200,9 @@ def apply_cdc_batch(
                             *error_projection(app_id)
                         ),
                         warehouse,
+                        app_id=app_id,
+                        epoch=epoch,
+                        kind="validation",
                     )
             fields = [
                 f.name for f in payload_schema_of_changes(good.schema).fields
@@ -219,7 +255,9 @@ def apply_cdc_batch(
     )
 
 
-def _flush_validation_errors(spark, bad, warehouse, app_id, error_mode) -> int:
+def _flush_validation_errors(
+    spark, bad, warehouse, app_id, error_mode, epoch=None
+) -> int:
     """Write row-level validation errors (one cheap job; only reached
     when the caller wants the error channel materialized)."""
     if error_mode == SKIP:
@@ -232,7 +270,9 @@ def _flush_validation_errors(spark, bad, warehouse, app_id, error_mode) -> int:
                 raise TableFailure(
                     "<validation>", ValueError(f"{n_bad} invalid records")
                 )
-            write_errors(bad, warehouse)
+            write_errors(
+                bad, warehouse, app_id=app_id, epoch=epoch, kind="validation"
+            )
         return n_bad
     finally:
         bad.unpersist()
@@ -260,7 +300,9 @@ def _apply_isolated(
     try:
         if validate:
             good, bad = split_valid_invalid(batch_df, reference_name=app_id)
-            _flush_validation_errors(spark, bad, warehouse, app_id, error_mode)
+            _flush_validation_errors(
+                spark, bad, warehouse, app_id, error_mode, epoch=epoch
+            )
         else:
             good = batch_df
 
@@ -272,7 +314,8 @@ def _apply_isolated(
         names = discover_tables(names, allow_tables, block_tables)
         # same path-traversal guard as the fast path: feed-supplied names
         # become warehouse directory names
-        for bad_name in [n for n in names if not is_safe_table_name(n)]:
+        unsafe_names = [n for n in names if not is_safe_table_name(n)]
+        for bad_name in unsafe_names:
             names.remove(bad_name)
             lineage.emit(
                 {
@@ -283,21 +326,25 @@ def _apply_isolated(
                     "error": "unsafe table name",
                 }
             )
-            if error_mode == ERROR_PORT:
-                write_errors(
-                    errmod.error_df(
-                        spark,
-                        [
-                            errmod.ErrorRecord(
-                                reference_name=app_id,
-                                error_message=f"unsafe table name {bad_name!r} rejected",
-                                exception_class_name="UnsafeTableName",
-                                table_name=bad_name,
-                            )
-                        ],
-                    ),
-                    warehouse,
-                )
+        if unsafe_names and error_mode == ERROR_PORT:
+            write_errors(
+                errmod.error_df(
+                    spark,
+                    [
+                        errmod.ErrorRecord(
+                            reference_name=app_id,
+                            error_message=f"unsafe table name {n!r} rejected",
+                            exception_class_name="UnsafeTableName",
+                            table_name=n,
+                        )
+                        for n in unsafe_names
+                    ],
+                ),
+                warehouse,
+                app_id=app_id,
+                epoch=epoch,
+                kind="unsafe",
+            )
         payload_schema = payload_schema_of_changes(good.schema)
 
         wm_row = good.agg(
@@ -357,23 +404,27 @@ def _apply_isolated(
                     "error": str(e),
                 }
             )
-            if error_mode == ERROR_PORT:
-                write_errors(
-                    errmod.error_df(
-                        spark,
-                        [
-                            errmod.ErrorRecord(
-                                reference_name=app_id,
-                                error_message="".join(
-                                    traceback.format_exception_only(type(e), e)
-                                ).strip(),
-                                exception_class_name=type(e).__name__,
-                                table_name=t,
-                            )
-                        ],
-                    ),
-                    warehouse,
-                )
+        if failures and error_mode == ERROR_PORT:
+            write_errors(
+                errmod.error_df(
+                    spark,
+                    [
+                        errmod.ErrorRecord(
+                            reference_name=app_id,
+                            error_message="".join(
+                                traceback.format_exception_only(type(e), e)
+                            ).strip(),
+                            exception_class_name=type(e).__name__,
+                            table_name=t,
+                        )
+                        for t, e in sorted(failures.items())
+                    ],
+                ),
+                warehouse,
+                app_id=app_id,
+                epoch=epoch,
+                kind="failure",
+            )
         return {"tables": results, "failed": sorted(failures), "epoch": epoch}
     finally:
         batch_df.unpersist()

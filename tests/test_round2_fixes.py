@@ -1,0 +1,316 @@
+"""Round-2 additions: typed PK-range splitters, JDBC seam, text-encoder
+bytes/nested policy, TIME mapping, lossy-widening refusal, LSH band
+divisibility, error-channel replay idempotence, merge_into commit retry,
+connected-components convergence."""
+
+import datetime
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    TimestampType,
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multi_table_plugins_spark.schemas import (  # noqa: E402
+    SchemaEvolutionError,
+    jdbc_type_to_spark,
+    merge_types,
+    time_to_micros,
+)
+from multi_table_plugins_spark.sources.jdbc import (  # noqa: E402
+    JdbcMultiTableSource,
+    JdbcTableSpec,
+    bounding_vals_query,
+    build_split_query,
+    split_where_clause,
+)
+from multi_table_plugins_spark.sources.multi_table import (  # noqa: E402
+    MultiTableSource,
+    assign_range_splits,
+)
+
+
+# ---------------------------------------------------------------------------
+# typed PK-range splitters (S6, MultiTableDBInputFormat.java:217-251)
+# ---------------------------------------------------------------------------
+
+def test_splitter_date(spark):
+    rows = [(datetime.date(2020, 1, 1 + i),) for i in range(10)]
+    df = spark.createDataFrame(rows, "d date")
+    out = assign_range_splits(df, "d", 2)
+    got = {r["d"].day: r["split_id"] for r in out.collect()}
+    assert got[1] == 0 and got[5] == 0 and got[6] == 1 and got[10] == 1
+
+
+def test_splitter_boolean(spark):
+    df = spark.createDataFrame([(True,), (False,), (True,)], "b boolean")
+    out = {(r["b"], r["split_id"]) for r in assign_range_splits(df, "b", 4).collect()}
+    assert out == {(True, 1), (False, 0)}
+
+
+def test_splitter_decimal(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "x int"
+    ).select(F.col("x").cast("decimal(10,2)").alias("x"))
+    out = assign_range_splits(df, "x", 4)
+    cnt = {r["split_id"]: r["n"] for r in out.groupBy("split_id").agg(F.count("*").alias("n")).collect()}
+    assert set(cnt) == {0, 1, 2, 3}
+    assert sum(cnt.values()) == 100
+
+
+def test_splitter_text_orders_lexicographically(spark):
+    df = spark.createDataFrame(
+        [("apple",), ("banana",), ("yak",), ("zebra",)], "s string"
+    )
+    out = {r["s"]: r["split_id"] for r in assign_range_splits(df, "s", 2).collect()}
+    assert out["apple"] == 0 and out["zebra"] == 1
+    assert out["banana"] <= out["yak"]
+
+
+def test_splitter_degenerate_single_value(spark):
+    df = spark.createDataFrame([("same",)] * 3, "s string")
+    assert {r["split_id"] for r in assign_range_splits(df, "s", 4).collect()} == {0}
+
+
+def test_splitter_unsupported_type_raises(spark):
+    df = spark.createDataFrame([([1],)], "a array<int>")
+    with pytest.raises(TypeError, match="no range splitter"):
+        assign_range_splits(df, "a", 2)
+
+
+# ---------------------------------------------------------------------------
+# JDBC seam (MultiTableDBSource.java:61-66, DBTableRecordReader.java:169-180)
+# ---------------------------------------------------------------------------
+
+def test_split_query_assembly_matches_reference():
+    # DBTableSplit.getWhereClause: (( lo ) AND ( hi )), 1=1 for open bounds
+    assert split_where_clause(None, None) == "(( 1=1 ) AND ( 1=1 ))"
+    assert (
+        split_where_clause("id >= 5", "id < 10")
+        == "(( id >= 5 ) AND ( id < 10 ))"
+    )
+    # DBTableRecordReader.getQuery: user WHERE carries its own keyword
+    assert (
+        build_split_query("db.users", "WHERE active = 1", "id >= 5", "id < 10")
+        == "SELECT * FROM db.users WHERE active = 1 AND (( id >= 5 ) AND ( id < 10 ))"
+    )
+    assert (
+        build_split_query("db.users")
+        == "SELECT * FROM db.users WHERE (( 1=1 ) AND ( 1=1 ))"
+    )
+    assert (
+        bounding_vals_query("db.users", "id", "WHERE active = 1")
+        == "SELECT MIN(id), MAX(id) FROM db.users WHERE active = 1"
+    )
+
+
+def test_jdbc_reader_options(spark):
+    src = JdbcMultiTableSource(
+        spark,
+        url="jdbc:postgresql://host:5432/db",
+        driver="org.postgresql.Driver",
+        user="u",
+        password="p",
+        where_clause="WHERE updated_at > 0",
+        fetch_size=500,
+    )
+    opts = src.reader_options(
+        JdbcTableSpec(table="users", pk="id", lower=0, upper=100, num_partitions=4)
+    )
+    assert opts["dbtable"] == "(SELECT * FROM users WHERE updated_at > 0) users_flt"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "4"
+    assert opts["fetchsize"] == "500"
+    # partitioned read without bounds must refuse, not scan unsplit
+    with pytest.raises(ValueError, match="bounds"):
+        src.reader_options(JdbcTableSpec(table="users", pk="id", num_partitions=4))
+
+
+def test_jdbc_allow_block_discovery(spark):
+    src = JdbcMultiTableSource(
+        spark, url="jdbc:h2:mem:", allow_list=("a", "b"), block_list=("b",)
+    )
+    assert src.discover(["a", "b", "c"]) == ["a"]
+
+
+def test_multi_table_source_jdbc_backend(spark):
+    src = MultiTableSource(
+        spark,
+        backend="jdbc",
+        where="active = 1",
+        block_list=("secrets",),
+        jdbc_conf={"url": "jdbc:h2:mem:", "tables": ["users", "secrets"]},
+    )
+    assert src.tables == ["users"]
+    assert src._jdbc.where_clause == "WHERE active = 1"
+    with pytest.raises(ValueError, match="unknown backend"):
+        MultiTableSource(spark, backend="bogus")
+
+
+# ---------------------------------------------------------------------------
+# type mapping + widening policy
+# ---------------------------------------------------------------------------
+
+def test_jdbc_type_mapping_survey_table():
+    assert jdbc_type_to_spark("TINYINT") == IntegerType()
+    assert jdbc_type_to_spark("BIGINT") == LongType()
+    assert jdbc_type_to_spark("BIGINT", precision=20, signed=False) == DecimalType(20, 0)
+    assert jdbc_type_to_spark("REAL") == FloatType()
+    assert jdbc_type_to_spark("TIME") == LongType()  # TIME_MICROS
+    assert jdbc_type_to_spark("TIMESTAMP") == TimestampType()
+    with pytest.raises(SchemaEvolutionError):
+        jdbc_type_to_spark("DECIMAL")  # precision 0 rejected
+    with pytest.raises(SchemaEvolutionError):
+        jdbc_type_to_spark("ARRAY")
+    assert time_to_micros(1, 2, 3, 4) == 3723000004
+
+
+def test_merge_types_rejects_lossy_long_to_double():
+    with pytest.raises(SchemaEvolutionError, match="2\\^53"):
+        merge_types(LongType(), DoubleType())
+    with pytest.raises(SchemaEvolutionError):
+        merge_types(FloatType(), LongType())
+    # small integrals still widen to double exactly
+    assert merge_types(IntegerType(), DoubleType()) == DoubleType()
+    assert merge_types(FloatType(), IntegerType()) == DoubleType()
+
+
+# ---------------------------------------------------------------------------
+# LSH band divisibility
+# ---------------------------------------------------------------------------
+
+def test_lsh_band_divisibility_raises(spark):
+    from multi_table_plugins_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    sigs = minhash_signatures(docs, num_hashes=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_candidate_pairs(sigs, num_bands=3, num_hashes=10)
+
+
+# ---------------------------------------------------------------------------
+# csv sink policy (StructuredToTextTransformer.java:63-81 parity)
+# ---------------------------------------------------------------------------
+
+def test_csv_sink_rejects_nested_and_escapes_bytes(spark, tmp_path):
+    from multi_table_plugins_spark.sinks.multi_sink import write_multi_table
+
+    nested = spark.createDataFrame(
+        [("t1", [1, 2])], "tablename string, arr array<int>"
+    )
+    with pytest.raises(ValueError, match="nested"):
+        write_multi_table(nested, str(tmp_path / "a"), fmt="csv")
+
+    binary = spark.createDataFrame(
+        [("t1", bytearray(b"\x00\xff"))], "tablename string, payload binary"
+    )
+    out = str(tmp_path / "b")
+    write_multi_table(binary, out, fmt="csv", ingest_time=1)
+    got = (
+        spark.read.option("sep", ",")
+        .schema("payload string")
+        .csv(out + "/tablename=t1/ingesttime=1")
+        .collect()
+    )
+    import base64
+
+    assert base64.b64decode(got[0]["payload"]) == b"\x00\xff"
+
+
+# ---------------------------------------------------------------------------
+# error channel: crash-replay of an epoch must not duplicate error rows
+# ---------------------------------------------------------------------------
+
+def test_error_channel_replay_idempotent(spark, tmp_path):
+    from multi_table_plugins_spark.streaming.cdc_pipeline import (
+        apply_cdc_batch,
+        read_errors,
+    )
+
+    wh = str(tmp_path / "wh")
+    bad = spark.createDataFrame(
+        [
+            (1, "t00", "U", "k1", [1, 2], 99, "web", datetime.datetime(2026, 1, 1)),
+            (2, "t00", "U", "k2", [1, 2], 2, "web", datetime.datetime(2026, 1, 1)),
+        ],
+        "lsn long, table_name string, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string, ts timestamp",
+    )
+    apply_cdc_batch(spark, bad, wh, epoch=0, app_id="t", error_mode="error-port")
+    n1 = read_errors(spark, wh).count()
+    assert n1 == 1  # the n_tok=99 invariant violation
+    # crash replay of the SAME epoch: data commit skips via ledger; error
+    # rows must be overwritten, not appended
+    apply_cdc_batch(spark, bad, wh, epoch=0, app_id="t", error_mode="error-port")
+    assert read_errors(spark, wh).count() == n1
+
+
+# ---------------------------------------------------------------------------
+# merge_into publishes through the retrying commit path
+# ---------------------------------------------------------------------------
+
+def test_merge_into_retries_commit_conflict(spark, tmp_path, monkeypatch):
+    from multi_table_plugins_spark.lakehouse.table import CommitConflict, LakeTable
+    from multi_table_plugins_spark.schemas import TARGET_SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    changes = spark.createDataFrame(
+        [(1, "k1", [1], 1, "web", "U")],
+        "lsn long, doc_id string, tokens array<int>, n_tok int, source string, op string",
+    )
+    real_publish = LakeTable._publish
+    fails = {"n": 2}
+
+    def flaky_publish(self, manifest):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            self._manifest_cache_version = -1
+            raise CommitConflict("simulated concurrent writer")
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_publish", flaky_publish)
+    m = t.merge_into(changes, app_id="a", epoch=1)
+    monkeypatch.setattr(LakeTable, "_publish", real_publish)
+    assert not m["skipped"]
+    assert m["rows_applied"] == 1
+    assert t.read().count() == 1
+    assert t.last_committed_epoch("a") == 1
+
+
+# ---------------------------------------------------------------------------
+# connected components: pointer jumping converges on a long chain
+# ---------------------------------------------------------------------------
+
+def test_connected_components_long_chain(spark):
+    from multi_table_plugins_spark.operators.components import connected_components
+
+    # a 40-node chain has label diameter 40 — pointer jumping must
+    # converge well within max_iter=10 (O(log d) rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a int, id_b int"
+    )
+    comps = connected_components(pairs, max_iter=10).collect()
+    assert {r["comp"] for r in comps} == {0}
+    assert len(comps) == 41
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    from multi_table_plugins_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)

@@ -25,15 +25,18 @@ from multi_table_plugins_spark.functions.textfns import (  # noqa: E402
     LANG_STOPWORDS,
     doc_fingerprint,
     lang_id,
+    quality_score,
     token_count,
 )
 from multi_table_plugins_spark.functions.vectors import cosine_sim  # noqa: E402
 from multi_table_plugins_spark.operators.router import union_tagged  # noqa: E402
 from multi_table_plugins_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
+    embedding_near_dup_pairs,
     hyperplane_lsh_topk,
 )
 from multi_table_plugins_spark.operators.dedup import (  # noqa: E402
+    md5_hash48,
     minhash_signatures,
     lsh_candidate_pairs,
     simhash64,
@@ -757,11 +760,93 @@ SELECT query_id, candidate_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank F
 """
 
 
-# --- non-SQL-expressible ops (rows-only driver check) ----------------------
-
 def q_simhash_signatures(spark, sf_dir):
+    # 48-bit SimHash with the md5 hash family — every bit vote is
+    # reproduced by the DuckDB oracle (the xxhash64/64-bit variant stays
+    # the engine fast path)
     docs = _r(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
+    return docs.select(
+        "doc_id", simhash64("text", id_hash=md5_hash48, n_bits=48).alias("simhash")
+    )
+
+
+def _o_simhash_signatures() -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(48)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(ws, x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)) AS hs
+  FROM w
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM h
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    # composite quality heuristic (length band + alpha density + mean
+    # word length band) — pure Catalyst, mirrored exactly in SQL
+    docs = _r(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score("text", "n_chars").alias("quality")
+    )
+
+
+O_QUALITY_SCORE = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS nc,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         (CASE WHEN nc >= 100 AND nc <= 20000 THEN 1.0 ELSE 0.5 END) * 0.4
+         + (CASE WHEN nc > 0 THEN n_alpha / nc ELSE 0.0 END) * 0.4
+         + (CASE WHEN (CASE WHEN n_words > 0 THEN nc / n_words ELSE 0.0 END) >= 3
+                 AND (CASE WHEN n_words > 0 THEN nc / n_words ELSE 0.0 END) <= 12
+            THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+FROM s
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    # embedding-space near-duplicate candidates within axis-plane LSH
+    # buckets (never all-pairs) — fully reproduced by the SQL oracle
+    emb = _r(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, threshold=0.15, n_planes=6, planes="axis"
+    )
+    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+def _o_embedding_near_dup() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(6)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         list_sum(list_transform(list_zip(l.embedding, r.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(l.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(r.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+         AS sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM pairs WHERE sim >= 0.15
+"""
 
 
 def q_cdc_replay_final_state(spark, sf_dir):
@@ -894,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_signatures": q_simhash_signatures,
+        "quality_score": q_quality_score,
+        "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "dedup_exact_clusters": q_dedup_exact_clusters,
@@ -930,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _o_minhash_near_dup(),
         "lsh_ann_topk": _o_lsh_ann_topk(),
         "dedup_exact_clusters": _o_dedup_exact_clusters(),
-        # simhash_signatures: engine-internal xxhash64 bit votes — not
-        # ANSI-SQL-expressible → rows-only check
+        "simhash_signatures": _o_simhash_signatures(),
+        "quality_score": O_QUALITY_SCORE,
+        "embedding_near_dup": _o_embedding_near_dup(),
     }

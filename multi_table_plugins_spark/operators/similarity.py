@@ -164,14 +164,19 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: str = "random",
 ) -> DataFrame:
     """(id_a < id_b, sim ≥ threshold) within LSH buckets — embedding-space
-    near-duplicate candidates for dedup."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    near-duplicate candidates for dedup. ``planes="axis"`` buckets on
+    element signs (SQL-reproducible, see hyperplane_lsh_topk)."""
+    if planes == "axis":
+        bucket = _axis_bucket_expr(vec_col, n_planes)
+    else:
+        bucket = _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed))
     b = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        _bucket_expr(vec_col, planes).alias("_bucket"),
+        bucket.alias("_bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
     return (

@@ -285,6 +285,33 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 """
 
 
+def q_salted_lww(spark, sf_dir):
+    # skew-proof two-stage LWW dedup: same semantics as lww_latest_by_key
+    # but the first shuffle is keyed (user_id, salt) so an arbitrarily hot
+    # key spreads over 8 reducers — the oracle checks the two-stage
+    # rewrite produces EXACTLY the plain-window answer
+    from multi_table_plugins_spark.operators.skew import salted_lww_dedup
+
+    ev = _r(spark, sf_dir, "events")
+    out = salted_lww_dedup(
+        ev, key="user_id", lsn_col="event_id", payload_cols=["event_type", "value"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 3).alias("last_value"),
+    )
+
+
+O_SALTED_LWW = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ROUND(value, 3) AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+
+
 def q_cdc_final_state(spark, sf_dir):
     # CDC apply as a query: events = changelog (view → delete), final state
     ev = _r(spark, sf_dir, "events").withColumn(
@@ -962,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_range_splits_float": q_pk_range_splits_float,
         "pk_range_splits_text": q_pk_range_splits_text,
         "lww_latest_by_key": q_lww_latest_by_key,
+        "salted_lww": q_salted_lww,
         "cdc_final_state": q_cdc_final_state,
         "ingesttime_stamp": q_ingesttime_stamp,
         "schema_union_evolution": q_schema_union_evolution,
@@ -998,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "pk_range_splits_float": O_PK_RANGE_SPLITS_FLOAT,
         "pk_range_splits_text": _o_pk_range_splits_text(),
         "lww_latest_by_key": O_LWW,
+        "salted_lww": O_SALTED_LWW,
         "cdc_final_state": O_CDC_FINAL,
         "ingesttime_stamp": O_INGESTTIME,
         "schema_union_evolution": O_SCHEMA_UNION,

@@ -106,6 +106,12 @@ def _one_cdc_run(cores: int, feed_dir: str) -> float:
         extra_conf={
             "spark.local.dir": SCRATCH,
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
+            # size scan splits to the feed's ~26 MB files so the
+            # scan+shuffle-write stage fills all cores (the 128 MB cluster
+            # default packs 64 files into ~13 splits — half the cores idle
+            # at 32; measured 12.5 -> 10.3 s per replay). Same knob you'd
+            # tune on a real cluster for small-file change feeds.
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
             # fixed, pre-touched heap: lazy heap growth otherwise charges
             # kernel page-zeroing (pure sys time) to random micro-batches —
             # measured as intermittent 2-4x batch-time spikes
@@ -276,7 +282,13 @@ def cdc_run_child(cores: int, feed_dir: str, reps: int) -> None:
 def run_queries() -> tuple[dict, float]:
     import __spark_entry__ as entrymod
 
-    spark = get_spark("mtp-bench-queries", cores=CPUS)
+    spark = get_spark(
+        "mtp-bench-queries",
+        cores=CPUS,
+        # sf0.1 tables are single files of tens of MB — split them finer
+        # than the 128 MB cluster default so scans use all cores
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
     qs = entrymod.queries()
     # session warmup so per-query numbers are steady-state, not JIT
     qs["pricing_summary"](spark, SF_DIR).count()

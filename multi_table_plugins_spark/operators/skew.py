@@ -42,20 +42,23 @@ def salted_lww_dedup(
 ) -> DataFrame:
     """Two-stage argmax-by-lsn dedup that survives arbitrarily hot keys.
 
-    Equivalent result to ``groupBy(key).agg(max_by(payload, lsn))`` but the
-    first shuffle key is ``(key, salt)``: a key with 10^7 occurrences in a
-    batch contributes at most ``salt_buckets`` rows to the final shuffle.
-    (Spark's own partial aggregation gives much of this for free when the
-    hash map fits; the explicit salt guarantees it under memory pressure.)
+    Equivalent result to ``groupBy(key).agg(max_by(payload, lsn))``
+    (requires LSNs unique per key, which CDC log sequence numbers are),
+    built from KEYS-ONLY aggregations + a winner join-back:
+
+      1. ``groupBy(key, salt).agg(max(lsn))`` — a hot key spreads over
+         ``salt_buckets`` reducers; fixed-width agg buffer → map-side
+         partial HashAggregate, never the SortAggregate fallback that
+         ``max_by(struct(<array payload>), lsn)`` forces (variable-length
+         buffers don't fit hash aggregation — measured 4x slower).
+      2. ``groupBy(key).agg(max(lsn))`` over ≤ salt_buckets rows/key.
+      3. join winners back on (key, lsn) to fetch the payload — the
+         winner side is ≤ #distinct-keys rows, so AQE broadcasts it when
+         it fits; the payload arrays cross exactly one shuffle, inside
+         the probe side.
     """
-    payload = F.struct(*[F.col(c) for c in payload_cols])
     salted = df.withColumn(_SALT, F.pmod(F.col(lsn_col), salt_buckets))
-    partial = salted.groupBy(key, _SALT).agg(
-        F.max_by(payload, F.col(lsn_col)).alias("_p"),
-        F.max(lsn_col).alias("_m"),
-    )
-    final = partial.groupBy(key).agg(
-        F.max_by(F.col("_p"), F.col("_m")).alias("_p"),
-        F.max("_m").alias(lsn_col),
-    )
-    return final.select(key, "_p.*", lsn_col)
+    partial = salted.groupBy(key, _SALT).agg(F.max(lsn_col).alias(lsn_col))
+    winners = partial.groupBy(key).agg(F.max(lsn_col).alias(lsn_col))
+    out = df.join(winners, [key, lsn_col], "inner")
+    return out.select(key, *payload_cols, lsn_col)

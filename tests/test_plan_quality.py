@@ -81,3 +81,66 @@ def test_lww_dedup_uses_partial_aggregation(spark):
     p = _plan(agg)
     assert "HashAggregate" in p
     assert "SortAggregate" not in p
+
+
+def test_minhash_md5_pipeline_no_python_no_cartesian(spark):
+    """The oracle-parity md5 MinHash path must keep the same plan shape
+    as the murmur path: hash evaluation in JVM expressions, candidate
+    join keyed on (band, band-hash), never a cartesian product."""
+    from multi_table_plugins_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, num_hashes=8, hash_fn="md5")
+    pairs = lsh_candidate_pairs(
+        sigs, num_bands=4, threshold=0.3, num_hashes=8, band_hash="md5"
+    )
+    p = _plan(pairs)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    pairs.unpersist()
+
+
+def test_axis_lsh_ann_bucket_join_no_cartesian(spark):
+    from multi_table_plugins_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = hyperplane_lsh_topk(
+        emb.filter("vec_id < 3"), emb, k=5, n_planes=6, planes="axis"
+    )
+    p = _plan(out)
+    # the only join is keyed on the LSH bucket with the query side
+    # broadcast; element_at bucket bits are plain JVM expressions
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "EvalPython" not in p
+
+
+def test_salted_lww_hash_aggregates_only(spark):
+    """The skew-proof LWW rewrite is keys-only aggregation (fixed-width
+    buffers) + winner join-back — it must plan as HashAggregates with
+    map-side partials, never the SortAggregate fallback that
+    max_by(struct(<payload>), lsn) forces."""
+    from multi_table_plugins_spark.operators.skew import salted_lww_dedup
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = salted_lww_dedup(
+        ev, key="user_id", lsn_col="event_id", payload_cols=["event_type"]
+    )
+    p = _plan(out)
+    assert "SortAggregate" not in p
+    assert p.count("HashAggregate") >= 4  # 2 stages x (partial + final)
+
+
+def test_typed_splitter_single_bounds_job_then_projection(spark):
+    """assign_range_splits adds one projection — the split-id expression
+    must not shuffle or invoke Python."""
+    from multi_table_plugins_spark.sources.multi_table import assign_range_splits
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = assign_range_splits(orders, "o_totalprice", 4)
+    p = _plan(out)
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

@@ -673,11 +673,16 @@ def q_minhash_near_dup(spark, sf_dir):
 
 def _minhash_pair_ctes() -> str:
     """Shared DuckDB CTE block reproducing minhash_signatures(md5) +
-    lsh_candidate_pairs(md5) exactly: 3-word shingles, 32 md5 min-hashes,
-    16 bands of 2, exact-Jaccard verify."""
+    lsh_candidate_pairs(md5) exactly: 3-word shingles, one 48-bit md5
+    base hash per shingle, 32 multiply-mod family mins, 16 bands of 2,
+    exact-Jaccard verify."""
+    from multi_table_plugins_spark.operators.dedup import _mix_constants
+
     sig = ", ".join(
-        f"list_min(list_transform(shingles, x -> md5('{i}:' || x)))"
-        for i in range(32)
+        "list_min(list_transform(hv, h -> ({a} * h + {b}) % {p}))".format(
+            a=a, b=b, p=p
+        )
+        for a, b, p in (_mix_constants(i) for i in range(32))
     )
     return f"""
 w AS (
@@ -691,7 +696,12 @@ w AS (
              i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shingles
   FROM w
 ), s AS (
-  SELECT doc_id, shingles, [{sig}] AS sig FROM sh WHERE len(shingles) > 0
+  SELECT doc_id, shingles,
+         [{sig}] AS sig
+  FROM (SELECT doc_id, shingles,
+               list_transform(shingles,
+                   x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)) AS hv
+        FROM sh WHERE len(shingles) > 0)
 ), bands AS (
   SELECT doc_id, t.b AS band,
          md5(array_to_string(list_slice(sig, t.b * 2 + 1, t.b * 2 + 2), '|')) AS bh

@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis): invariants that example tests
+can't sweep — schema-lattice algebra, splitter coverage/monotonicity,
+text-fraction order compatibility, salted-LWW equivalence on random
+change sequences."""
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampType,
+)
+
+from multi_table_plugins_spark.schemas import SchemaEvolutionError, merge_types
+from multi_table_plugins_spark.sources.multi_table import assign_range_splits
+
+SCALARS = [
+    BooleanType(),
+    ByteType(),
+    ShortType(),
+    IntegerType(),
+    LongType(),
+    FloatType(),
+    DoubleType(),
+    StringType(),
+    DateType(),
+    TimestampType(),
+    DecimalType(10, 2),
+    DecimalType(20, 2),
+    ArrayType(IntegerType()),
+    ArrayType(LongType()),
+]
+
+
+@given(st.sampled_from(SCALARS), st.sampled_from(SCALARS))
+@settings(max_examples=200)
+def test_merge_types_symmetric_and_idempotent(a, b):
+    """The widening lattice is a commutative join: merge(a,b) == merge(b,a)
+    (or both reject), and merge(a,a) == a."""
+    assert merge_types(a, a) == a
+    try:
+        ab = merge_types(a, b)
+    except SchemaEvolutionError:
+        with pytest.raises(SchemaEvolutionError):
+            merge_types(b, a)
+        return
+    assert merge_types(b, a) == ab
+    # the result is an upper bound: merging either input into it is a no-op
+    assert merge_types(ab, a) == ab
+    assert merge_types(ab, b) == ab
+
+
+@given(
+    st.lists(st.integers(min_value=-(2 ** 40), max_value=2 ** 40), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_int_splitter_covers_and_is_monotone(spark, vals, n_splits):
+    """Every row gets a split in [0, n); split id is non-decreasing in PK
+    order (ranges are contiguous); every requested range is equal-width."""
+    df = spark.createDataFrame([(v,) for v in vals], "pk long")
+    rows = assign_range_splits(df, "pk", n_splits).collect()
+    assert len(rows) == len(vals)
+    by_pk = sorted((r["pk"], r["split_id"]) for r in rows)
+    sids = [s for _, s in by_pk]
+    assert all(0 <= s < n_splits for s in sids)
+    assert sids == sorted(sids)  # monotone in pk
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_text_fraction_is_lex_order_compatible(spark, strings):
+    """The base-256 interpolation behind the text splitter must agree
+    with lexicographic order on the first 8 chars (printable ASCII):
+    s <= t on the truncated prefix implies frac(s) <= frac(t)."""
+    from multi_table_plugins_spark.sources.multi_table import text_fraction_expr
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["f"]
+        for r in df.select("s", text_fraction_expr("s").alias("f")).collect()
+    }
+    ordered = sorted(set(x[:8] for x in strings))
+    fracs = [got[next(s for s in strings if s[:8] == p)] for p in ordered]
+    assert fracs == sorted(fracs)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.sampled_from(["a", "b", "c"]),  # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_lww_equals_window_dedup(spark, events):
+    """For any change sequence (unique LSNs), the skew-proof two-stage
+    rewrite returns exactly the ranking-window answer."""
+    from multi_table_plugins_spark.operators.skew import salted_lww_dedup
+
+    rows = [(i, k, p) for i, (k, p) in enumerate(events)]
+    df = spark.createDataFrame(rows, "lsn long, key long, payload string")
+    got = {
+        (r["key"], r["payload"], r["lsn"])
+        for r in salted_lww_dedup(
+            df, key="key", lsn_col="lsn", payload_cols=["payload"], salt_buckets=3
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy(F.desc("lsn"))
+    exp = {
+        (r["key"], r["payload"], r["lsn"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    }
+    assert got == exp

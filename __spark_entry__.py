@@ -34,6 +34,7 @@ from multi_table_plugins_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     embedding_near_dup_pairs,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from multi_table_plugins_spark.operators.dedup import (  # noqa: E402
     md5_hash48,
@@ -855,6 +856,54 @@ FROM s
 """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    # IVF ANN: deterministic coarse quantizer (lowest-id vectors as
+    # centroids), nprobe=2 cell probing, exact cosine rerank — the full
+    # inverted-file structure reproduced by the SQL oracle
+    emb = _r(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(queries, emb, k=10, n_centroids=8, nprobe=2).select(
+        "query_id", "candidate_id", F.round("sim", 4).alias("sim"), "rank"
+    )
+
+
+O_IVF_ANN_TOPK = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+ad AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+               * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+  FROM embeddings e CROSS JOIN c
+),
+cand AS (
+  SELECT vec_id AS candidate_id, embedding AS cv2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk FROM ad
+  ) WHERE rnk = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+    FROM ad WHERE vec_id < 5
+  ) WHERE rnk <= 2
+),
+pairs AS (
+  SELECT qp.query_id, cand.candidate_id,
+         list_sum(list_transform(list_zip(qp.qv, cand.cv2),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qp.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(cand.cv2, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+         AS sim
+  FROM cand JOIN qp USING (cid)
+  WHERE cand.candidate_id <> qp.query_id
+)
+SELECT query_id, candidate_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, candidate_id) AS rank
+  FROM pairs
+) WHERE rank <= 10
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # embedding-space near-duplicate candidates within axis-plane LSH
     # buckets (never all-pairs) — fully reproduced by the SQL oracle
@@ -1020,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "dedup_exact_clusters": q_dedup_exact_clusters,
     }
@@ -1055,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": O_CDC_REPLAY,
         "minhash_near_dup": _o_minhash_near_dup(),
         "lsh_ann_topk": _o_lsh_ann_topk(),
+        "ivf_ann_topk": O_IVF_ANN_TOPK,
         "dedup_exact_clusters": _o_dedup_exact_clusters(),
         "simhash_signatures": _o_simhash_signatures(),
         "quality_score": O_QUALITY_SCORE,

@@ -30,3 +30,13 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance — fold of (x-y)^2 in array order (oracle:
+    ``list_sum(list_transform(list_zip(a,b), x -> (x1-x2)^2))``)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -156,6 +156,79 @@ def hyperplane_lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the query's ``nprobe`` nearest cells,
+    exact-cosine rerank within them.
+
+    Deterministic coarse quantizer: the ``n_centroids`` lowest-id corpus
+    vectors are the centroids (k-means would move them; a fixed seed set
+    keeps the whole structure reproducible — and SQL-expressible for the
+    oracle). Scale shape:
+
+      * centroids are a broadcast 8-row frame — assignment is a
+        broadcast join + ``min(struct(dist, cid))`` HashAggregate, so
+        the corpus is never shuffled by a window;
+      * the probe join is keyed on the cell id — per-query work is
+        bounded by the probed cells' sizes, never the corpus.
+    """
+    from ..functions.vectors import l2_sq
+
+    cents = candidates.filter(F.col(c_id) < n_centroids).select(
+        F.col(c_id).cast("long").alias("_cid"), F.col(c_vec).alias("_ctr")
+    )
+
+    # corpus side: one cell per vector, argmin distance (ties -> min cid)
+    cd = (
+        candidates.select(F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d", l2_sq(F.col("_cv"), F.col("_ctr")))
+    )
+    cand_cells = (
+        cd.groupBy("candidate_id")
+        .agg(
+            F.min(F.struct("_d", "_cid")).alias("_m"),
+            F.first("_cv").alias("_cv"),
+        )
+        .select("candidate_id", "_cv", F.col("_m._cid").alias("_cid"))
+    )
+
+    # query side: nprobe nearest cells (query sets are small; a ranking
+    # window over n_centroids rows per query is fine)
+    qd = (
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d", l2_sq(F.col("_qv"), F.col("_ctr")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("_d", "_cid")
+    q_cells = (
+        qd.withColumn("_rnk", F.row_number().over(w_probe))
+        .filter(F.col("_rnk") <= nprobe)
+        .select("query_id", "_qv", "_cid")
+    )
+
+    joined = cand_cells.join(F.broadcast(q_cells), "_cid").filter(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    scored = joined.select(
+        "query_id", "candidate_id", cosine_sim("_qv", "_cv").alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -801,8 +801,12 @@ SELECT query_id, candidate_id, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank F
 def q_simhash_signatures(spark, sf_dir):
     # 48-bit SimHash with the md5 hash family — every bit vote is
     # reproduced by the DuckDB oracle (the xxhash64/64-bit variant stays
-    # the engine fast path)
+    # the engine fast path). Fan a single-file corpus out first: the
+    # interpreted HOF fold would otherwise run on one core.
     docs = _r(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return docs.select(
         "doc_id", simhash64("text", id_hash=md5_hash48, n_bits=48).alias("simhash")
     )

@@ -67,14 +67,20 @@ HEADLINE = (
     "pricing_summary",
     "sql_statement_join",
     "lww_latest_by_key",
+    "salted_lww",
     "cdc_final_state",
     "hourly_rollup",
     "dedup_exact",
+    "dedup_exact_clusters",
     "doc_fingerprint",
     "token_count_quality",
+    "quality_score",
+    "simhash_signatures",
     "ann_cosine_topk",
     "minhash_near_dup",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_near_dup",
 )
 
 

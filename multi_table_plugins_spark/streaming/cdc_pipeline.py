@@ -440,6 +440,7 @@ def run_cdc_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     watermark: str = "10 minutes",
+    progress_listener: bool = False,
     **apply_kw,
 ):
     """Start the streaming CDC query; returns the StreamingQuery.
@@ -447,6 +448,14 @@ def run_cdc_stream(
     The change feed must have lsn/table_name/op/doc_id/ts plus payload.
     ``feed_schema`` defaults to CHANGE_FEED_SCHEMA; pass the union schema
     if the feed evolves mid-stream (see module docstring).
+
+    ``progress_listener=True`` additionally registers a
+    StreamingQueryListener that appends the ENGINE's per-trigger progress
+    (numInputRows, rates, durations, offsets) to
+    ``<warehouse>/_lineage/progress.jsonl`` — the streaming analog of the
+    reference's split progress (DBTableRecordReader.java:121-124). The
+    listener instance is attached to the returned query as
+    ``_mtp_listener`` so callers can deregister it after termination.
     """
     schema = feed_schema or CHANGE_FEED_SCHEMA
     reader = spark.readStream.schema(schema)
@@ -468,6 +477,13 @@ def run_cdc_stream(
             **apply_kw,
         )
 
+    listener = None
+    if progress_listener:
+        from .lineage import ProgressListener
+
+        listener = ProgressListener(warehouse)
+        spark.streams.addListener(listener)
+
     writer = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
@@ -475,7 +491,10 @@ def run_cdc_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    if listener is not None:
+        q._mtp_listener = listener
+    return q
 
 
 def replay_feed_batches(

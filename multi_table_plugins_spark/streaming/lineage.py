@@ -36,3 +36,66 @@ class LineageLog:
             return []
         with open(self.path) as f:
             return [json.loads(l) for l in f if l.strip()]
+
+
+class ProgressListener:
+    """StreamingQueryListener appending each micro-batch's engine-reported
+    progress (numInputRows, processedRowsPerSecond, batch/trigger
+    durations, source offsets) to ``<warehouse>/_lineage/progress.jsonl``.
+
+    The streaming analog of the reference's split progress reporting
+    (DBTableRecordReader.getProgress, DBTableRecordReader.java:121-124):
+    the engine's own counters, not ours, so it cross-checks the
+    LineageLog numbers the apply path emits.
+
+    Built lazily because StreamingQueryListener needs an active session.
+    """
+
+    def __new__(cls, warehouse: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        log = LineageLog(warehouse)
+        path = os.path.join(log.dir, "progress.jsonl")
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                rec = {
+                    "emitted_at": time.time(),
+                    "kind": "stream_progress",
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "processed_rows_per_sec": p.processedRowsPerSecond,
+                    "duration_ms": dict(p.durationMs or {}),
+                    "sources": [
+                        {
+                            "description": s.description,
+                            "start_offset": s.startOffset,
+                            "end_offset": s.endOffset,
+                            "num_input_rows": s.numInputRows,
+                        }
+                        for s in (p.sources or [])
+                    ],
+                }
+                with _LOCK:
+                    with open(path, "a") as f:
+                        f.write(json.dumps(rec, default=str) + "\n")
+
+            def onQueryTerminated(self, event):
+                pass
+
+        inst = _L()
+        inst.progress_path = path
+        return inst
+
+
+def read_progress(warehouse: str) -> list[dict]:
+    path = os.path.join(warehouse, "_lineage", "progress.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]

@@ -42,6 +42,9 @@ def main() -> None:
     p.add_argument("--block-tables", default="")
     p.add_argument("--watermark", default="10 minutes")
     p.add_argument("--batch-dedup", action="store_true")
+    p.add_argument("--progress-listener", action="store_true",
+                   help="also log engine-reported per-trigger progress "
+                        "to <warehouse>/_lineage/progress.jsonl")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,8 +70,25 @@ def main() -> None:
         allow_tables=tuple(t for t in args.allow_tables.split(",") if t),
         block_tables=tuple(t for t in args.block_tables.split(",") if t),
         batch_dedup=args.batch_dedup,
+        progress_listener=args.progress_listener,
     )
     q.awaitTermination()
+    if args.progress_listener:
+        # the listener bus delivers asynchronously — drain until the
+        # progress log stops growing (bounded) so the final trigger's
+        # record is not lost to process exit
+        import time
+
+        from multi_table_plugins_spark.streaming.lineage import read_progress
+
+        prev = -1
+        for _ in range(20):
+            n = len(read_progress(args.warehouse))
+            if n == prev:
+                break
+            prev = n
+            time.sleep(0.25)
+        spark.streams.removeListener(q._mtp_listener)
 
 
 if __name__ == "__main__":

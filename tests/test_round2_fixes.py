@@ -353,3 +353,35 @@ def test_ivf_partial_probe_is_subset_with_recall(spark):
     assert len(approx) == 50
     recall = len(approx & exact) / len(exact)
     assert recall > 0.05  # random embeddings; nprobe=2/8 cells
+
+
+# ---------------------------------------------------------------------------
+# S11: engine-reported streaming progress (StreamingQueryListener)
+# ---------------------------------------------------------------------------
+
+def test_progress_listener_records_engine_counters(spark, tmp_path):
+    from multi_table_plugins_spark.feed import FeedSpec, generate_feed
+    from multi_table_plugins_spark.streaming import run_cdc_stream
+    from multi_table_plugins_spark.streaming.lineage import read_progress
+
+    feed = str(tmp_path / "feed")
+    generate_feed(feed, FeedSpec(n_events=2000, n_tables=2, keys_per_table=100, n_files=4, seed=7))
+    wh = str(tmp_path / "wh")
+    q = run_cdc_stream(
+        spark, feed, wh, str(tmp_path / "ckpt"),
+        app_id="prog", max_files_per_trigger=2, n_buckets=4,
+        progress_listener=True,
+    )
+    q.awaitTermination()
+    import time as _t
+
+    recs = []
+    for _ in range(40):  # listener delivery is async
+        recs = read_progress(wh)
+        if sum(r["num_input_rows"] for r in recs) >= 2000:
+            break
+        _t.sleep(0.25)
+    spark.streams.removeListener(q._mtp_listener)
+    assert sum(r["num_input_rows"] for r in recs) == 2000
+    assert all(r["kind"] == "stream_progress" for r in recs)
+    assert any(r["duration_ms"] for r in recs)

@@ -310,6 +310,32 @@ class LakeTable:
         drop = [DELETED_COL] if with_lsn else list(BOOKKEEPING_COLS)
         return df.drop(*drop)
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point read of one key, pruned to its bucket's files.
+
+        Bucket layout makes point lookups O(one bucket), not O(table):
+        the key's bucket id is computed with the same murmur3 expression
+        rows were written with (evaluated on a literal — no scan), and
+        only that bucket's base+delta entries are read and LWW-resolved.
+        At 100x scale this is the difference between reading ~1/n_buckets
+        of a table and reading all of it."""
+        m = self.manifest()
+        bucket = str(
+            self.spark.range(1)
+            .select(F.pmod(F.hash(F.lit(key_value)), F.lit(self.n_buckets)))
+            .first()[0]
+        )
+        target = self._internal_schema(self.schema())
+        b = m["buckets"].get(bucket, {})
+        entries = list(b.get("base", [])) + list(b.get("delta", []))
+        if not entries:
+            return self.spark.createDataFrame([], self.schema())
+        df = self._read_files(entries, target, m)
+        resolved = self._lww_resolve(df.filter(F.col(self.key) == key_value), target)
+        return resolved.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(*BOOKKEEPING_COLS)
+
     def vacuum_tombstones(self, lsn_watermark: int) -> dict:
         """Physically drop tombstones whose ``_lsn`` < ``lsn_watermark``
         (safe once the feed can no longer deliver events below the

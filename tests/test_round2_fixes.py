@@ -385,3 +385,30 @@ def test_progress_listener_records_engine_counters(spark, tmp_path):
     assert sum(r["num_input_rows"] for r in recs) == 2000
     assert all(r["kind"] == "stream_progress" for r in recs)
     assert any(r["duration_ms"] for r in recs)
+
+
+# ---------------------------------------------------------------------------
+# bucket-pruned point lookup
+# ---------------------------------------------------------------------------
+
+def test_lookup_reads_only_the_keys_bucket(spark, tmp_path):
+    from multi_table_plugins_spark.lakehouse.table import LakeTable
+    from multi_table_plugins_spark.schemas import TARGET_SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8)
+    rows = [(i, f"k{i}", [i, i + 1], 2, "web", "U") for i in range(40)]
+    rows.append((100, "k7", [9], 1, "pdf", "U"))   # update k7
+    rows.append((101, "k8", None, None, None, "D"))  # delete k8
+    changes = spark.createDataFrame(
+        rows,
+        "lsn long, doc_id string, tokens array<int>, n_tok int, source string, op string",
+    )
+    t.merge_into(changes, app_id="a", epoch=1)
+
+    got = t.lookup("k7").collect()
+    assert len(got) == 1 and got[0]["tokens"] == [9] and got[0]["source"] == "pdf"
+    assert t.lookup("k8").count() == 0      # tombstoned
+    assert t.lookup("missing").count() == 0
+    # equivalence with the full-scan read
+    full = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert full["k7"] == [9] and "k8" not in full

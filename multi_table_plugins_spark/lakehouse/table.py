@@ -641,6 +641,48 @@ class LakeTable:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return result
 
+    def compact_deltas(self, buckets: list[str] | None = None) -> dict:
+        """MINOR compaction: merge each bucket's delta files into one
+        LWW-resolved delta run, leaving the base untouched.
+
+        Write-amplification math at 10^10-event scale: major compaction
+        (``compact``) rewrites the whole bucket base every
+        ``compact_threshold`` batches — O(table size) per cycle. Minor
+        compaction costs only O(recent batches) and keeps read fan-in
+        bounded, so the policy ladder is: append deltas per batch →
+        minor-merge deltas when they stack up → fold into base rarely.
+        Tombstones survive the merge (deletes stay deletes), so
+        base ⊎ merged-delta resolves to the identical state.
+        """
+        m = json.loads(json.dumps(self.manifest()))
+        if buckets is None:
+            buckets = [b for b, v in m["buckets"].items() if len(v.get("delta", [])) >= 2]
+        buckets = [b for b in buckets if len(m["buckets"].get(b, {}).get("delta", [])) >= 2]
+        if not buckets:
+            return {"minor_compacted_buckets": []}
+        target = self._internal_schema(self.schema())
+        entries = [e for b in buckets for e in m["buckets"][b]["delta"]]
+        df = self._read_files(entries, target)
+        resolved = self._lww_resolve(df, target).withColumn(
+            _BUCKET_COL, self._bucket_expr()
+        )
+        new_entries = self._write_data_files(resolved, m["version"] + 1, "delta")
+        stray = set(new_entries) - set(buckets)
+        if stray:
+            raise RuntimeError(
+                f"minor compaction re-bucketed rows into {sorted(stray)} — "
+                f"bucket-layout mismatch at {self.path}"
+            )
+        for b in buckets:
+            m["buckets"][b]["delta"] = new_entries.get(b, [])
+        m["stats"]["total_files"] = sum(
+            len(v.get("base", [])) + len(v.get("delta", []))
+            for v in m["buckets"].values()
+        )
+        self._advance(m)
+        self._publish(m)
+        return {"minor_compacted_buckets": sorted(buckets, key=int)}
+
     def compact(self, buckets: list[str] | None = None) -> dict:
         """Fold delta files into the base for ``buckets`` (default: all
         buckets that have deltas). Base keeps tombstones so late lower-LSN

@@ -412,3 +412,40 @@ def test_lookup_reads_only_the_keys_bucket(spark, tmp_path):
     # equivalence with the full-scan read
     full = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert full["k7"] == [9] and "k8" not in full
+
+
+# ---------------------------------------------------------------------------
+# minor (delta-only) compaction
+# ---------------------------------------------------------------------------
+
+def test_minor_compaction_preserves_state_and_shrinks_deltas(spark, tmp_path):
+    from multi_table_plugins_spark.lakehouse.table import LakeTable
+    from multi_table_plugins_spark.schemas import TARGET_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4, compact_threshold=100
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "lsn long, doc_id string, tokens array<int>, n_tok int, source string, op string",
+    )
+    t.merge_into(mk([(1, "a", [1], 1, "w", "U"), (2, "b", [2], 1, "w", "U")]), epoch=1)
+    t.merge_into(mk([(3, "a", [3], 1, "w", "U"), (4, "c", [4], 1, "w", "U")]), epoch=2)
+    t.merge_into(mk([(5, "b", None, None, None, "D")]), epoch=3)
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    m0 = t.manifest()
+    deltas_before = sum(len(v.get("delta", [])) for v in m0["buckets"].values())
+    assert sum(len(v.get("base", [])) for v in m0["buckets"].values()) == 0
+
+    r = t.compact_deltas()
+    assert r["minor_compacted_buckets"]
+    m1 = t.manifest()
+    deltas_after = sum(len(v.get("delta", [])) for v in m1["buckets"].values())
+    assert deltas_after < deltas_before
+    # base untouched (still none), state identical, tombstone still wins
+    assert sum(len(v.get("base", [])) for v in m1["buckets"].values()) == 0
+    after = {r2["doc_id"]: r2["tokens"] for r2 in t.read().collect()}
+    assert after == before and "b" not in after and after["a"] == [3]
+    # a late lower-LSN update must STILL not resurrect the deleted key
+    t.merge_into(mk([(4, "b", [9], 1, "w", "U")]), epoch=4, lsn_col="lsn")
+    assert "b" not in {r3["doc_id"] for r3 in t.read().collect()}

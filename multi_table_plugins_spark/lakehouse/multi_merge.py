@@ -64,6 +64,7 @@ def merge_many(
     n_buckets: int = 16,
     table_mode: str = "mor",
     compact_threshold: int = 16,
+    minor_compact_threshold: int | None = None,
     table_col: str = "table_name",
     key_col: str = "doc_id",
     lsn_col: str = "lsn",
@@ -153,6 +154,7 @@ def merge_many(
             n_buckets=n_buckets,
             mode=table_mode,
             compact_threshold=compact_threshold,
+            minor_compact_threshold=minor_compact_threshold,
         )
         if lt.n_buckets != n_buckets:
             # bucket ids were computed with the caller's n_buckets; an

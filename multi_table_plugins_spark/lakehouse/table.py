@@ -123,8 +123,15 @@ class LakeTable:
         n_buckets: int = 32,
         mode: str = "mor",
         compact_threshold: int = 8,
+        minor_compact_threshold: int | None = None,
     ) -> "LakeTable":
-        """Create an empty table (atomic; fails if it already exists)."""
+        """Create an empty table (atomic; fails if it already exists).
+
+        ``minor_compact_threshold`` (optional, < compact_threshold) turns
+        on the two-tier compaction ladder: a bucket whose delta count
+        reaches it gets a MINOR delta-merge (O(recent batches)); only at
+        ``compact_threshold`` does the MAJOR base fold run — bounding
+        read fan-in without O(bucket) rewrites every few batches."""
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         manifest = {
@@ -136,6 +143,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "mode": mode,
             "compact_threshold": compact_threshold,
+            "minor_compact_threshold": minor_compact_threshold,
             "current_schema_version": 1,
             "schemas": {"1": schema.json()},
             # bucket (str) -> {"base": [file entries], "delta": [file entries]}
@@ -502,6 +510,15 @@ class LakeTable:
         ]
         if to_compact:
             self.compact(to_compact)
+        minor = m.get("minor_compact_threshold")
+        if minor:
+            to_minor = [
+                b
+                for b, v in m["buckets"].items()
+                if b not in to_compact and len(v.get("delta", [])) >= minor
+            ]
+            if to_minor:
+                self.compact_deltas(to_minor)
         return {
             "skipped": False,
             "buckets_touched": sorted(entries_by_bucket, key=int),

@@ -98,6 +98,7 @@ def apply_cdc_batch(
     n_buckets: int = 16,
     table_mode: str = "mor",
     compact_threshold: int = 16,
+    minor_compact_threshold: int | None = None,
     max_parallel_tables: int = 8,
     validate: bool = True,
     fast_path: bool = True,
@@ -160,6 +161,7 @@ def apply_cdc_batch(
                 n_buckets=n_buckets,
                 table_mode=table_mode,
                 compact_threshold=compact_threshold,
+                minor_compact_threshold=minor_compact_threshold,
                 batch_dedup=batch_dedup,
             )
             batch_stats = results.pop("_batch", {})
@@ -249,6 +251,7 @@ def apply_cdc_batch(
         n_buckets,
         table_mode,
         compact_threshold,
+        minor_compact_threshold,
         max_parallel_tables,
         validate,
         lineage,
@@ -290,6 +293,7 @@ def _apply_isolated(
     n_buckets: int,
     table_mode: str,
     compact_threshold: int,
+    minor_compact_threshold: int | None,
     max_parallel_tables: int,
     validate: bool,
     lineage: LineageLog,
@@ -366,6 +370,7 @@ def _apply_isolated(
                     n_buckets=n_buckets,
                     mode=table_mode,
                     compact_threshold=compact_threshold,
+                    minor_compact_threshold=minor_compact_threshold,
                 )
                 m = lt.merge_into(changes, app_id=app_id, epoch=epoch)
                 results[t] = m

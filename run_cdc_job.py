@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--max-files-per-trigger", type=int, default=32)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--compact-threshold", type=int, default=16)
+    p.add_argument("--minor-compact-threshold", type=int, default=None,
+                   help="two-tier compaction: delta-merge (minor) at this "
+                        "count, base fold (major) at --compact-threshold")
     p.add_argument("--error-mode", default="error-port",
                    choices=["fail", "skip", "error-port"])
     p.add_argument("--allow-tables", default="")
@@ -66,6 +69,7 @@ def main() -> None:
         watermark=args.watermark,
         n_buckets=args.n_buckets,
         compact_threshold=args.compact_threshold,
+        minor_compact_threshold=args.minor_compact_threshold,
         error_mode=args.error_mode,
         allow_tables=tuple(t for t in args.allow_tables.split(",") if t),
         block_tables=tuple(t for t in args.block_tables.split(",") if t),

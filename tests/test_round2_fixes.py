@@ -449,3 +449,27 @@ def test_minor_compaction_preserves_state_and_shrinks_deltas(spark, tmp_path):
     # a late lower-LSN update must STILL not resurrect the deleted key
     t.merge_into(mk([(4, "b", [9], 1, "w", "U")]), epoch=4, lsn_col="lsn")
     assert "b" not in {r3["doc_id"] for r3 in t.read().collect()}
+
+
+def test_two_tier_compaction_policy(spark, tmp_path):
+    """With minor_compact_threshold=2 and compact_threshold=100, repeated
+    merges keep deltas folded by MINOR compaction only — base stays empty
+    and per-bucket delta count stays bounded while state stays exact."""
+    from multi_table_plugins_spark.lakehouse.table import LakeTable
+    from multi_table_plugins_spark.schemas import TARGET_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2,
+        compact_threshold=100, minor_compact_threshold=2,
+    )
+    mk = lambda lsn, k, tok: spark.createDataFrame(  # noqa: E731
+        [(lsn, k, [tok], 1, "w", "U")],
+        "lsn long, doc_id string, tokens array<int>, n_tok int, source string, op string",
+    )
+    for i in range(6):
+        t.merge_into(mk(i + 1, f"k{i % 3}", i), epoch=i + 1)
+    m = t.manifest()
+    assert all(len(v.get("base", [])) == 0 for v in m["buckets"].values())
+    assert all(len(v.get("delta", [])) <= 2 for v in m["buckets"].values())
+    state = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert state == {"k0": [3], "k1": [4], "k2": [5]}

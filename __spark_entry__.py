@@ -66,7 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
     from multi_table_plugins_spark.lakehouse import LakeTable
     from multi_table_plugins_spark.streaming import replay_feed_batches
 
+    import atexit
+    import shutil
+
     work = tempfile.mkdtemp(prefix="mtp_entry_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     feed_dir = os.path.join(work, "feed")
     wh = os.path.join(work, "wh")
     files = generate_feed(
@@ -973,7 +977,14 @@ def q_cdc_replay_final_state(spark, sf_dir):
         .alias("source"),
         F.col("ts"),
     )
+    import atexit
+    import shutil
+
     work = tempfile.mkdtemp(prefix="mtp_flagship_")
+    # the returned DataFrame reads the warehouse lazily, so removal must
+    # wait for process exit — without this every bench rep / correctness
+    # run leaves a feed + 4-table lakehouse in tmp
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     feed_dir = os.path.join(work, "feed")
     wh = os.path.join(work, "wh")
     feed.repartitionByRange(4, "lsn").write.parquet(feed_dir)

@@ -237,12 +237,23 @@ def merge_many(
 
     if commit_failures:
         # committed tables' ledgers make the retry a no-op for them; the
-        # caller's isolated fallback path re-applies only the failures
+        # caller's isolated fallback path re-applies only the failures.
+        # Attach the successful tables' metrics so the caller can still
+        # emit their lineage (the fallback would only see ledger-skips).
         first_t, first_e = sorted(commit_failures.items())[0]
-        raise RuntimeError(
+        err = RuntimeError(
             f"commit failed for table(s) {sorted(commit_failures)}: "
             f"{first_t}: {first_e}"
-        ) from first_e
+        )
+        err.partial_results = dict(results)
+        err.batch_stats = {
+            "rows_in": got.get("rows_in", 0),
+            "deletes": got.get("deletes", 0) or 0,
+            "watermark": got.get("watermark"),
+            "max_lsn": got.get("max_lsn"),
+            "unsafe_tables": sorted(unsafe),
+        }
+        raise err from first_e
     results["_batch"] = {
         "rows_in": got.get("rows_in", 0),
         "deletes": got.get("deletes", 0) or 0,

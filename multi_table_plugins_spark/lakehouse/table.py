@@ -328,9 +328,17 @@ class LakeTable:
         At 100x scale this is the difference between reading ~1/n_buckets
         of a table and reading all of it."""
         m = self.manifest()
+        # cast the literal to the key COLUMN's type first: murmur3 hashes
+        # int32 and int64 (etc.) differently, so an untyped literal would
+        # silently pick the wrong bucket for non-string keys
+        key_type = self.schema()[self.key].dataType
         bucket = str(
             self.spark.range(1)
-            .select(F.pmod(F.hash(F.lit(key_value)), F.lit(self.n_buckets)))
+            .select(
+                F.pmod(
+                    F.hash(F.lit(key_value).cast(key_type)), F.lit(self.n_buckets)
+                )
+            )
             .first()[0]
         )
         target = self._internal_schema(self.schema())
@@ -508,17 +516,24 @@ class LakeTable:
             for b, v in m["buckets"].items()
             if v.get("delta") and (compact or len(v["delta"]) >= threshold)
         ]
-        if to_compact:
-            self.compact(to_compact)
-        minor = m.get("minor_compact_threshold")
-        if minor:
-            to_minor = [
-                b
-                for b, v in m["buckets"].items()
-                if b not in to_compact and len(v.get("delta", [])) >= minor
-            ]
-            if to_minor:
-                self.compact_deltas(to_minor)
+        # the data commit above is already DURABLE (ledger advanced) —
+        # losing a version race during the post-commit maintenance ladder
+        # must not surface as a failed batch; the next commit or an
+        # explicit maintenance call re-attempts the fold
+        try:
+            if to_compact:
+                self.compact(to_compact)
+            minor = m.get("minor_compact_threshold")
+            if minor:
+                to_minor = [
+                    b
+                    for b, v in m["buckets"].items()
+                    if b not in to_compact and len(v.get("delta", [])) >= minor
+                ]
+                if to_minor:
+                    self.compact_deltas(to_minor)
+        except CommitConflict:
+            self._manifest_cache_version = -1  # reload next read
         return {
             "skipped": False,
             "buckets_touched": sorted(entries_by_bucket, key=int),

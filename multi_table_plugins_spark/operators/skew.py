@@ -57,8 +57,22 @@ def salted_lww_dedup(
          it fits; the payload arrays cross exactly one shuffle, inside
          the probe side.
     """
+    from pyspark.sql import Window
+
     salted = df.withColumn(_SALT, F.pmod(F.col(lsn_col), salt_buckets))
     partial = salted.groupBy(key, _SALT).agg(F.max(lsn_col).alias(lsn_col))
     winners = partial.groupBy(key).agg(F.max(lsn_col).alias(lsn_col))
     out = df.join(winners, [key, lsn_col], "inner")
+    # at-least-once feeds can redeliver the same (key, lsn) event within
+    # a batch — collapse exact redeliveries AFTER the join, where the
+    # window sort touches only the winner set (<= dup-factor rows per
+    # key), never the batch. dropDuplicates on the input would aggregate
+    # the payload columns and reintroduce the sort-agg fallback for
+    # array payloads.
+    w = Window.partitionBy(key).orderBy(F.desc(lsn_col))
+    out = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return out.select(key, *payload_cols, lsn_col)

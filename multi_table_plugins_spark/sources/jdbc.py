@@ -119,8 +119,11 @@ class JdbcMultiTableSource:
         subquery when a WHERE clause pushes down."""
         if self.where_clause:
             # push the user's WHERE into the remote scan, like
-            # DBTableRecordReader.getQuery - Spark requires a subquery
-            dbtable = f"(SELECT * FROM {spec.table} {self.where_clause}) {spec.table}_flt"
+            # DBTableRecordReader.getQuery - Spark requires a subquery.
+            # The alias must be a bare identifier: schema-qualified names
+            # ("db.users") would make "db.users_flt" invalid SQL.
+            alias = spec.table.replace(".", "_").replace('"', "") + "_flt"
+            dbtable = f"(SELECT * FROM {spec.table} {self.where_clause}) {alias}"
         else:
             dbtable = spec.table
         opts = {

@@ -229,6 +229,25 @@ def apply_cdc_batch(
         except Exception as e:  # KeyboardInterrupt/SystemExit must propagate
             if error_mode == FAIL:
                 raise
+            # tables that DID commit before a sibling failed carry their
+            # metrics on the exception — emit their lineage now (the
+            # isolated retry will only see their ledgers skip)
+            partial = getattr(e, "partial_results", None) or {}
+            pstats = getattr(e, "batch_stats", None) or {}
+            for t, pm in partial.items():
+                if not pm.get("skipped"):
+                    lineage.emit(
+                        {
+                            "kind": "cdc_apply",
+                            "app_id": app_id,
+                            "epoch": epoch,
+                            "table": t,
+                            "fqn": lake_fqn(warehouse, t),
+                            "watermark": pstats.get("watermark"),
+                            "max_lsn": pstats.get("max_lsn"),
+                            **pm,
+                        }
+                    )
             lineage.emit(
                 {
                     "kind": "fast_path_fallback",
@@ -498,6 +517,10 @@ def run_cdc_stream(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     if listener is not None:
+        # pin the listener to THIS query (the listener bus is
+        # session-global); progress events only fire after a batch
+        # completes, so setting it right after start() is race-free
+        listener.query_id = str(q.id)
         q._mtp_listener = listener
     return q
 

@@ -58,11 +58,19 @@ class ProgressListener:
         path = os.path.join(log.dir, "progress.jsonl")
 
         class _L(StreamingQueryListener):
+            #: set to the owning query's id (str) after start() — the
+            #: listener bus is SESSION-global, so without this filter a
+            #: second concurrent stream's batches would cross-contaminate
+            #: this warehouse's progress log
+            query_id: str | None = None
+
             def onQueryStarted(self, event):
                 pass
 
             def onQueryProgress(self, event):
                 p = event.progress
+                if self.query_id is not None and str(p.id) != self.query_id:
+                    return
                 rec = {
                     "emitted_at": time.time(),
                     "kind": "stream_progress",

@@ -473,3 +473,19 @@ def test_two_tier_compaction_policy(spark, tmp_path):
     assert all(len(v.get("delta", [])) <= 2 for v in m["buckets"].values())
     state = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert state == {"k0": [3], "k1": [4], "k2": [5]}
+
+
+def test_salted_lww_collapses_exact_redelivery(spark):
+    """An at-least-once feed redelivering the same (key, lsn) event twice
+    must still yield exactly one row per key."""
+    from multi_table_plugins_spark.operators.skew import salted_lww_dedup
+
+    df = spark.createDataFrame(
+        [(7, 1, "a"), (7, 1, "a"), (5, 1, "b"), (3, 2, "c"), (3, 2, "c")],
+        "lsn long, key long, payload string",
+    )
+    got = salted_lww_dedup(df, key="key", lsn_col="lsn", payload_cols=["payload"]).collect()
+    assert sorted((r["key"], r["payload"], r["lsn"]) for r in got) == [
+        (1, "a", 7),
+        (2, "c", 3),
+    ]

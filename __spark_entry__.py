@@ -836,6 +836,50 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM h
 """
 
 
+def q_jaccard_near_dup(spark, sf_dir):
+    # exact n-gram Jaccard near-dup via an inverted shingle index —
+    # candidate generation keyed on the shingle (never all-pairs),
+    # stop-shingles (df > 50) dropped from generation, exact verify
+    from multi_table_plugins_spark.operators.dedup import jaccard_near_dup_pairs
+
+    docs = _r(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.3, max_df=50)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+O_JACCARD_NEAR_DUP = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shingles
+    FROM w
+  ) WHERE len(shingles) > 0
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), rare AS (
+  SELECT inv.doc_id, inv.s FROM inv
+  JOIN (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 50) f ON f.s = inv.s
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM rare l JOIN rare r ON l.s = r.s AND l.doc_id < r.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= 0.3
+"""
+
+
 def q_quality_score(spark, sf_dir):
     # composite quality heuristic (length band + alpha density + mean
     # word length band) — pure Catalyst, mirrored exactly in SQL
@@ -1080,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "hourly_rollup": q_hourly_rollup,
         "minhash_near_dup": q_minhash_near_dup,
+        "jaccard_near_dup": q_jaccard_near_dup,
         "simhash_signatures": q_simhash_signatures,
         "quality_score": q_quality_score,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1119,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_rollup": O_HOURLY,
         "cdc_replay_final_state": O_CDC_REPLAY,
         "minhash_near_dup": _o_minhash_near_dup(),
+        "jaccard_near_dup": O_JACCARD_NEAR_DUP,
         "lsh_ann_topk": _o_lsh_ann_topk(),
         "ivf_ann_topk": O_IVF_ANN_TOPK,
         "dedup_exact_clusters": _o_dedup_exact_clusters(),

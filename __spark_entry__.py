@@ -230,8 +230,11 @@ FROM a GROUP BY split_id
 
 
 def _text_frac_sql(col: str, max_chars: int = 8) -> str:
+    # LEAST(..., 255) mirrors text_fraction_expr's clamp: ascii() returns
+    # the full Unicode codepoint, which must not exceed the base-256
+    # positional weight
     terms = [
-        f"(CASE WHEN length({col}) >= {i} THEN ascii(substr({col}, {i}, 1)) "
+        f"(CASE WHEN length({col}) >= {i} THEN LEAST(ascii(substr({col}, {i}, 1)), 255) "
         f"ELSE 0 END) / {float(256 ** i)!r}"
         for i in range(1, max_chars + 1)
     ]

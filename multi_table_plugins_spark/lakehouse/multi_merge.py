@@ -210,12 +210,16 @@ def merge_many(
     # commits nor leak the staging directory on every fallback retry.
     from concurrent.futures import ThreadPoolExecutor
 
-    commit_failures: dict[str, BaseException] = {}
+    commit_failures: dict[str, Exception] = {}
 
     def _commit_guarded(tdir: str) -> None:
+        # Exception only: a KeyboardInterrupt/SystemExit during a commit
+        # must propagate out of ex.map and abort the batch (the caller's
+        # isolated-fallback retry is for table failures, not interrupts);
+        # the finally below still reclaims staging on the way out.
         try:
             _commit_table(tdir)
-        except BaseException as e:
+        except Exception as e:
             commit_failures[tdir.split("=", 1)[1]] = e
 
     try:

@@ -36,41 +36,60 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    from pyspark.sql import Observation
+
+    comp_type = labels.schema["comp"].dataType
     converged = False
     for _ in range(max_iter):
-        # propagate: each node's candidate = min(own comp, neighbors' comps)
+        # propagate: each node's candidate = min(own comp, neighbors' comps).
+        # Each node's PREVIOUS label rides along as ``_old`` (null on the
+        # neighbor rows; min() ignores nulls and every node contributes
+        # exactly one self row) so the convergence check below costs zero
+        # extra jobs.
         neigh = (
             edges.join(labels, edges["b"] == labels["node"], "inner")
-            .select(F.col("a").alias("node"), F.col("comp"))
+            .select(
+                F.col("a").alias("node"),
+                F.col("comp"),
+                F.lit(None).cast(comp_type).alias("_old"),
+            )
         )
         prop = (
-            labels.unionByName(neigh)
+            labels.select("node", "comp", F.col("comp").alias("_old"))
+            .unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("_old").alias("_old"))
         )
         # pointer jumping: re-map every label to ITS label's label
         # (comp -> comp's comp), squaring the label graph — label depth
         # halves per round, so convergence is O(log diameter) rounds
         # instead of O(diameter)
         jump = prop.select(F.col("node").alias("_j_node"), F.col("comp").alias("_j_comp"))
+        # the changed-row count is OBSERVED on the same job that
+        # materializes the round (the eager localCheckpoint) — previously
+        # this was a separate join + limit(1).count() per round, ~1/3 of
+        # the query's jobs
+        obs = Observation()
         new_labels = (
             prop.join(jump, prop["comp"] == jump["_j_node"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("_j_comp"), F.col("comp")).alias("comp"),
+                "_old",
             )
+            .observe(
+                obs,
+                F.sum((F.col("comp") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("node", "comp")
             # localCheckpoint truncates the logical plan: the iterated
             # join otherwise nests the plan tree exponentially and blows
             # up the OPTIMIZER (heap) long before the data is large
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get.get("changed") or 0
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -174,7 +174,11 @@ def ivf_topk(
     Deterministic coarse quantizer: the ``n_centroids`` lowest-id corpus
     vectors are the centroids (k-means would move them; a fixed seed set
     keeps the whole structure reproducible — and SQL-expressible for the
-    oracle). Scale shape:
+    oracle). The ids need not be dense or numeric: the centroid set is
+    the actual ``sort ... limit n_centroids`` over ``c_id`` (a
+    TakeOrderedAndProject — no full sort), so string ids or ids starting
+    at 100 select a full centroid set instead of a partial/empty one.
+    Scale shape:
 
       * centroids are a broadcast 8-row frame — assignment is a
         broadcast join + ``min(struct(dist, cid))`` HashAggregate, so
@@ -184,8 +188,10 @@ def ivf_topk(
     """
     from ..functions.vectors import l2_sq
 
-    cents = candidates.filter(F.col(c_id) < n_centroids).select(
-        F.col(c_id).cast("long").alias("_cid"), F.col(c_vec).alias("_ctr")
+    cents = (
+        candidates.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_ctr"))
+        .orderBy("_cid")
+        .limit(n_centroids)
     )
 
     # corpus side: one cell per vector, argmin distance (ties -> min cid)

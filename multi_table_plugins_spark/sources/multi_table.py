@@ -118,13 +118,23 @@ def text_fraction_expr(col, max_chars: int = 8):
     """Map a string to a fraction in [0, 1) by base-256 interpolation over
     its first ``max_chars`` character codes — the same idea as Hadoop's
     TextSplitter (strings as base-N fractions), kept to plain ASCII
-    arithmetic so it is reproducible in ANSI SQL."""
+    arithmetic so it is reproducible in ANSI SQL.
+
+    ``ascii()`` returns the full Unicode codepoint of the first character
+    (can exceed 255), which would break the base-256 positional weights —
+    frac() would stop being monotone in lexicographic order and split
+    ranges could overlap. Codes are clamped to 255, so all non-ASCII
+    characters collapse to one top-of-range code: coverage of [0, n)
+    and per-position monotonicity always hold; ORDER fidelity between
+    distinct non-ASCII characters is not preserved (documented ASCII
+    assumption, same as Hadoop's TextSplitter ASCII warning)."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.lit(0.0)
     for i in range(1, max_chars + 1):
-        code = F.when(F.length(c) >= i, F.ascii(F.substring(c, i, 1))).otherwise(
-            F.lit(0)
-        )
+        code = F.when(
+            F.length(c) >= i,
+            F.least(F.ascii(F.substring(c, i, 1)), F.lit(255)),
+        ).otherwise(F.lit(0))
         out = out + code.cast("double") / F.lit(float(256 ** i))
     return out
 

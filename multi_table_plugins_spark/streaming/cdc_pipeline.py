@@ -518,8 +518,11 @@ def run_cdc_stream(
     q = writer.start()
     if listener is not None:
         # pin the listener to THIS query (the listener bus is
-        # session-global); progress events only fire after a batch
-        # completes, so setting it right after start() is race-free
+        # session-global). Events that fire between start() and this
+        # assignment (possible with availableNow on a tiny feed) are
+        # buffered by the listener and flushed — filtered to this query —
+        # on assignment, so the race loses no events and admits no
+        # foreign-query contamination.
         listener.query_id = str(q.id)
         q._mtp_listener = listener
     return q

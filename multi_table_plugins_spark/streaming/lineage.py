@@ -58,19 +58,46 @@ class ProgressListener:
         path = os.path.join(log.dir, "progress.jsonl")
 
         class _L(StreamingQueryListener):
-            #: set to the owning query's id (str) after start() — the
-            #: listener bus is SESSION-global, so without this filter a
-            #: second concurrent stream's batches would cross-contaminate
-            #: this warehouse's progress log
-            query_id: str | None = None
+            """``query_id`` (set after start()) pins the listener to ONE
+            query — the listener bus is SESSION-global, so without this
+            filter a second concurrent stream's batches would
+            cross-contaminate this warehouse's progress log.
+
+            With availableNow triggers a tiny feed can complete its first
+            micro-batch BEFORE the caller has assigned query_id, so events
+            arriving while it is still None are BUFFERED, not written:
+            on assignment the buffer is flushed filtered to the owning
+            query, which keeps both the event (no loss to the race) and
+            the isolation guarantee (no foreign-query contamination)."""
+
+            def __init__(self):
+                super().__init__()
+                self._qid: str | None = None
+                self._pending: list[dict] = []
+
+            @staticmethod
+            def _append(rec: dict) -> None:
+                with open(path, "a") as f:
+                    f.write(json.dumps(rec, default=str) + "\n")
+
+            @property
+            def query_id(self) -> str | None:
+                return self._qid
+
+            @query_id.setter
+            def query_id(self, qid: str | None) -> None:
+                with _LOCK:
+                    self._qid = qid
+                    pending, self._pending = self._pending, []
+                    for rec in pending:
+                        if qid is None or rec["query_id"] == qid:
+                            self._append(rec)
 
             def onQueryStarted(self, event):
                 pass
 
             def onQueryProgress(self, event):
                 p = event.progress
-                if self.query_id is not None and str(p.id) != self.query_id:
-                    return
                 rec = {
                     "emitted_at": time.time(),
                     "kind": "stream_progress",
@@ -90,8 +117,12 @@ class ProgressListener:
                     ],
                 }
                 with _LOCK:
-                    with open(path, "a") as f:
-                        f.write(json.dumps(rec, default=str) + "\n")
+                    if self._qid is None:
+                        self._pending.append(rec)
+                        return
+                    if rec["query_id"] != self._qid:
+                        return
+                    self._append(rec)
 
             def onQueryTerminated(self, event):
                 pass

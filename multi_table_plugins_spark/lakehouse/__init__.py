@@ -1,1 +1,2 @@
+from .fileio import FileIO, GenericFileIO, LocalFileIO, get_fileio  # noqa: F401
 from .table import CommitConflict, LakeTable  # noqa: F401

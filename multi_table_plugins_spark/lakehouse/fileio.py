@@ -1,0 +1,208 @@
+"""Driver-side commit IO seam for the lakehouse.
+
+At 100 TB the one genuine scale liability of a manifest-based table
+format is the DRIVER's file IO during commits: placing staged data files
+into the table directory, listing staging output, reading parquet
+footers, and publishing the manifest pointer atomically. On a local
+filesystem hard links + an ``os.link`` compare-and-swap are ideal; on an
+object store (s3a/abfs/gcs) hard links don't exist and the atomic
+primitive is a conditional PUT (``If-None-Match: *``) or a catalog
+compare-and-swap. This module abstracts exactly those driver-side
+primitives so the warehouse can point at either world:
+
+  * :class:`LocalFileIO` — hard links (zero-copy staging promotion) and
+    a tmp-write + ``os.link`` CAS manifest publish. Readers can never
+    observe a partially written manifest (the link appears fully
+    formed). This is the original engine behavior.
+  * :class:`GenericFileIO` — no link assumption: staged files are
+    copied (on a real object store this is the upload/server-side-copy),
+    and the manifest publish is an ``O_CREAT|O_EXCL`` exclusive create +
+    single write + fsync — the local analog of a conditional PUT: two
+    racing writers cannot both create the object, so the optimistic-
+    concurrency CAS survives. Unlike a real object store's atomic PUT,
+    a reader *can* glimpse a partially written manifest for a few
+    microseconds; ``LakeTable.manifest`` retries transient JSON parse
+    failures to close that window (see table.py).
+
+What is NOT behind this seam, deliberately: the Spark executors' parquet
+reads/writes (Spark's own Hadoop FileSystem handles s3a/abfs there), and
+``pyarrow`` footer reads go through :meth:`FileIO.open_input` so an
+object-store implementation can hand back a remote file handle.
+
+Reference context: the reference plugin wrote through Hadoop
+OutputFormats and had no commit protocol at all
+(RecordFilterOutputFormat.java:77-79); this seam is where the engine's
+added atomic-commit layer meets real storage.
+
+Selection: pass a ``FileIO`` explicitly, or set ``MTP_FILEIO=local``
+(default) / ``MTP_FILEIO=generic`` — the whole suite and bench run
+under either backend unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+class FileIO:
+    """Driver-side storage primitives used by the commit path."""
+
+    name = "abstract"
+
+    # --- reads -----------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def getsize(self, path: str) -> int:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def open_input(self, path: str):
+        """Binary file handle for parquet footer reads (pyarrow accepts
+        file objects, so an object-store impl can return a remote one)."""
+        raise NotImplementedError
+
+    # --- writes ----------------------------------------------------------
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def add_file(self, src: str, dst: str) -> None:
+        """Place a staged data file at ``dst`` (promotion from staging
+        into the table directory). Local: hard link (zero copy); object
+        store: copy/upload."""
+        raise NotImplementedError
+
+    def publish_atomic(self, path: str, data: str) -> None:
+        """Publish ``data`` at ``path`` iff ``path`` does not exist yet
+        (compare-and-swap). Raises ``FileExistsError`` when a concurrent
+        writer won — the caller maps this to CommitConflict."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def remove_tree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def remove_dir_if_empty(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class _PosixBase(FileIO):
+    """Shared POSIX-path plumbing (both sandbox backends address local
+    paths; a real s3/abfs FileIO would reimplement every method)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def open_input(self, path: str):
+        return open(path, "rb")
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.unlink(path)
+
+    def remove_tree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def remove_dir_if_empty(self, path: str) -> None:
+        try:
+            if not os.listdir(path):
+                os.rmdir(path)
+        except OSError:
+            pass
+
+
+class LocalFileIO(_PosixBase):
+    """Hard links + tmp-write-then-link CAS (the zero-copy fast path)."""
+
+    name = "local"
+
+    def add_file(self, src: str, dst: str) -> None:
+        os.link(src, dst)
+
+    def publish_atomic(self, path: str, data: str) -> None:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link fails with EEXIST if a concurrent writer already
+            # published this version — optimistic concurrency, and the
+            # published file appears fully formed to readers
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+
+class GenericFileIO(_PosixBase):
+    """No-hard-link backend: copy promotion + exclusive-create publish.
+
+    The exclusive create (``O_CREAT|O_EXCL``) is the local analog of an
+    object store's conditional PUT: exactly one of two racing writers
+    can create the manifest, preserving the commit CAS without links.
+    """
+
+    name = "generic"
+
+    def add_file(self, src: str, dst: str) -> None:
+        shutil.copyfile(src, dst)
+
+    def publish_atomic(self, path: str, data: str) -> None:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, data.encode())
+            os.fsync(fd)
+        except BaseException:
+            # the partially created object must not poison the version
+            # slot — remove it so a retry (or another writer) can claim it
+            os.close(fd)
+            os.unlink(path)
+            raise
+        os.close(fd)
+
+
+_BACKENDS = {"local": LocalFileIO, "generic": GenericFileIO}
+
+
+def get_fileio(name: "str | FileIO | None" = None) -> FileIO:
+    """Resolve a FileIO: pass an instance through, look a name up, or
+    fall back to ``$MTP_FILEIO`` (default ``local``)."""
+    if isinstance(name, FileIO):
+        return name
+    if name is None:
+        name = os.environ.get("MTP_FILEIO", "local")
+    try:
+        return _BACKENDS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown FileIO backend {name!r}; expected one of "
+            f"{sorted(_BACKENDS)}"
+        ) from None

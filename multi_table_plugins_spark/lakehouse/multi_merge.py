@@ -12,9 +12,11 @@ write side:
      (one hash-agg shuffle, map-side partial);
   2. one ``partitionBy(table, bucket)`` parquet write to a staging dir
      (second shuffle co-locates each (table,bucket) into one file);
-  3. driver: hard-link each table's files into its table dir, read row
-     counts from parquet footers (no job), and make one atomic
-     ledger-checked manifest commit per table.
+  3. driver: place each table's files into its table dir through the
+     FileIO seam (hard links on local fs, copy/conditional-PUT on the
+     generic/object-store backend — see fileio.py), read row counts
+     from parquet footers (no job), and make one atomic ledger-checked
+     manifest commit per table.
 
 Row/delete/invalid counts ride the write job via ``Observation`` — zero
 extra passes. Invalid rows are written in a (rare) second job only when
@@ -28,10 +30,8 @@ files are visible) — a vacuum can reclaim them.
 
 from __future__ import annotations
 
-import json
 import os
 import re
-import shutil
 import time
 import uuid
 
@@ -49,6 +49,7 @@ def is_safe_table_name(name: str) -> bool:
     return bool(SAFE_TABLE_RE.match(name))
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
+from .fileio import FileIO, get_fileio
 from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform, _footer_rows
 
 _BUCKET_COL = "_bucket"
@@ -71,6 +72,7 @@ def merge_many(
     op_col: str = "op",
     allowed_tables: set[str] | None = None,
     batch_dedup: bool = False,
+    io: FileIO | None = None,
 ) -> dict[str, dict]:
     """Apply a change-feed batch to every table it mentions; returns
     {table: merge metrics}. One Spark job (two if invalid rows exist).
@@ -83,6 +85,7 @@ def merge_many(
     keys-only max(lsn) hash-agg (fixed-width buffer — fast) joined back
     broadcast — worth it when hot keys dominate the batch (e.g. a
     counter-like key receiving most of the feed)."""
+    io = get_fileio(io)
     payload_schema = payload_schema_of_changes(batch_df.schema)
     internal_fields = list(payload_schema.fields)
     internal_names = [f.name for f in internal_fields]
@@ -155,6 +158,7 @@ def merge_many(
             mode=table_mode,
             compact_threshold=compact_threshold,
             minor_compact_threshold=minor_compact_threshold,
+            io=io,
         )
         if lt.n_buckets != n_buckets:
             # bucket ids were computed with the caller's n_buckets; an
@@ -167,25 +171,25 @@ def merge_many(
         dest_rel = f"{DATA_DIR}/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"
         entries: dict[str, list[dict]] = {}
         total_rows = 0
-        for bdir in os.listdir(os.path.join(staging, tdir)):
+        for bdir in io.listdir(os.path.join(staging, tdir)):
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             bucket = bdir.split("=", 1)[1]
-            os.makedirs(os.path.join(tpath, dest_rel, bdir), exist_ok=True)
-            for fn in os.listdir(os.path.join(staging, tdir, bdir)):
+            io.makedirs(os.path.join(tpath, dest_rel, bdir))
+            for fn in io.listdir(os.path.join(staging, tdir, bdir)):
                 if not fn.endswith(".parquet"):
                     continue
                 src = os.path.join(staging, tdir, bdir, fn)
                 rel = os.path.join(dest_rel, bdir, fn)
                 dst = os.path.join(tpath, rel)
-                os.link(src, dst)
-                rows = _footer_rows(dst)
+                io.add_file(src, dst)
+                rows = _footer_rows(dst, io)
                 total_rows += rows
                 entries.setdefault(bucket, []).append(
                     {
                         "path": rel,
                         "sv": 0,  # set by commit_delta
-                        "bytes": os.path.getsize(dst),
+                        "bytes": io.getsize(dst),
                         "rows": rows,
                     }
                 )
@@ -193,14 +197,14 @@ def merge_many(
         m = lt.commit_delta(entries, payload_schema, app_id, epoch)
         m["commit_ms"] = round((time.time() - t0) * 1000, 1)
         if m.get("skipped"):
-            # epoch already committed (crash replay) — discard linked files
-            shutil.rmtree(os.path.join(tpath, dest_rel), ignore_errors=True)
+            # epoch already committed (crash replay) — discard placed files
+            io.remove_tree(os.path.join(tpath, dest_rel))
         else:
             m["rows_applied"] = total_rows
         results[table] = m
 
     tdirs = sorted(
-        d for d in os.listdir(staging) if d.startswith(f"{_TABLE_COL}=")
+        d for d in io.listdir(staging) if d.startswith(f"{_TABLE_COL}=")
     )
     # per-table registration is driver-side IO (link + footer + JSON) —
     # run it threaded so 100 tables don't serialize the micro-batch.
@@ -230,14 +234,9 @@ def merge_many(
             for d in tdirs:
                 _commit_guarded(d)
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        io.remove_tree(staging)
         # remove the shared staging parent when no other batch is mid-flight
-        parent = os.path.dirname(staging)
-        try:
-            if not os.listdir(parent):
-                os.rmdir(parent)
-        except OSError:
-            pass
+        io.remove_dir_if_empty(os.path.dirname(staging))
 
     if commit_failures:
         # committed tables' ledgers make the retry a no-op for them; the

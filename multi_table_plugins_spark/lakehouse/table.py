@@ -5,9 +5,12 @@ table layer the CDC engine merges into, with the Iceberg semantics the
 north rule needs and an interface a real Iceberg catalog could replace:
 
   * **atomic snapshot commits** — data files are written first, then a
-    numbered manifest is published with an atomic ``os.link`` (fails if a
+    numbered manifest is published with a compare-and-swap (fails if a
     concurrent writer won the version — optimistic concurrency, like an
-    Iceberg catalog swap). Readers only see manifest-listed files.
+    Iceberg catalog swap). Readers only see manifest-listed files. The
+    CAS and all other driver-side commit IO go through the FileIO seam
+    (fileio.py): ``local`` = hard links, ``generic`` = copy +
+    exclusive-create (the object-store conditional-PUT shape).
   * **MERGE upsert** (``merge_into``) — last-writer-wins by ``_lsn`` per
     key, insert/update/delete, delete = persisted tombstone so a late
     lower-LSN update can never resurrect a deleted row across batches.
@@ -56,6 +59,7 @@ from ..schemas import (
     merge_schemas,
     schema_from_json,
 )
+from .fileio import FileIO, get_fileio
 
 _BUCKET_COL = "_bucket"
 MANIFEST_DIR = "_manifests"
@@ -74,12 +78,16 @@ class CommitConflict(RuntimeError):
     """Another writer published this manifest version first."""
 
 
-def _footer_rows(path: str) -> int:
+def _footer_rows(path: str, io: FileIO | None = None) -> int:
     """Row count from the parquet footer — driver-side metadata read,
-    no Spark job."""
+    no Spark job. Routed through the FileIO seam so an object-store
+    backend can hand pyarrow a remote file handle."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    if io is None:
+        return pq.ParquetFile(path).metadata.num_rows
+    with io.open_input(path) as f:
+        return pq.ParquetFile(f).metadata.num_rows
 
 
 def _conform(df: DataFrame, schema: StructType) -> DataFrame:
@@ -97,9 +105,14 @@ def _conform(df: DataFrame, schema: StructType) -> DataFrame:
 class LakeTable:
     """One logical CDC target table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, io: FileIO | None = None
+    ):
         self.spark = spark
         self.path = path
+        #: driver-side commit IO backend (link vs copy, CAS flavor) —
+        #: see fileio.py; default resolves $MTP_FILEIO (local)
+        self.io = get_fileio(io)
         self._manifest_cache: dict | None = None
         self._manifest_cache_version = -1
 
@@ -107,10 +120,11 @@ class LakeTable:
     # manifest plumbing
     # ------------------------------------------------------------------
     @staticmethod
-    def exists(path: str) -> bool:
+    def exists(path: str, io: FileIO | None = None) -> bool:
+        io = get_fileio(io)
         d = os.path.join(path, MANIFEST_DIR)
-        return os.path.isdir(d) and any(
-            n.startswith("manifest-") for n in os.listdir(d)
+        return io.isdir(d) and any(
+            n.startswith("manifest-") for n in io.listdir(d)
         )
 
     @classmethod
@@ -124,6 +138,7 @@ class LakeTable:
         mode: str = "mor",
         compact_threshold: int = 8,
         minor_compact_threshold: int | None = None,
+        io: FileIO | None = None,
     ) -> "LakeTable":
         """Create an empty table (atomic; fails if it already exists).
 
@@ -132,8 +147,9 @@ class LakeTable:
         reaches it gets a MINOR delta-merge (O(recent batches)); only at
         ``compact_threshold`` does the MAJOR base fold run — bounding
         read fan-in without O(bucket) rewrites every few batches."""
-        os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
-        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        io = get_fileio(io)
+        io.makedirs(os.path.join(path, MANIFEST_DIR))
+        io.makedirs(os.path.join(path, DATA_DIR))
         manifest = {
             "format_version": 1,
             "version": 0,
@@ -153,24 +169,45 @@ class LakeTable:
             "stats": {"live_rows": 0, "total_files": 0},
             "ts": time.time(),
         }
-        t = cls(spark, path)
+        t = cls(spark, path, io=io)
         t._publish(manifest)
         return t
 
     @classmethod
-    def get_or_create(cls, spark, path, schema, **kw) -> "LakeTable":
-        if cls.exists(path):
-            return cls(spark, path)
+    def get_or_create(cls, spark, path, schema, io=None, **kw) -> "LakeTable":
+        io = get_fileio(io)
+        if cls.exists(path, io=io):
+            return cls(spark, path, io=io)
         try:
-            return cls.create(spark, path, schema, **kw)
+            return cls.create(spark, path, schema, io=io, **kw)
         except CommitConflict:  # lost the create race — table now exists
-            return cls(spark, path)
+            return cls(spark, path, io=io)
 
     def _manifest_files(self) -> list[str]:
         d = os.path.join(self.path, MANIFEST_DIR)
-        if not os.path.isdir(d):
+        if not self.io.isdir(d):
             return []
-        return sorted(n for n in os.listdir(d) if n.startswith("manifest-") and n.endswith(".json"))
+        return sorted(
+            n
+            for n in self.io.listdir(d)
+            if n.startswith("manifest-") and n.endswith(".json")
+        )
+
+    def _load_manifest(self, name: str) -> dict:
+        """Read + parse one manifest file. The GenericFileIO publish is an
+        exclusive-create + write (conditional-PUT analog), so unlike the
+        link-published local backend a reader can glimpse a partially
+        written manifest for a few microseconds — retry transient parse
+        failures before declaring corruption."""
+        path = os.path.join(self.path, MANIFEST_DIR, name)
+        last_err: Exception | None = None
+        for _ in range(5):
+            try:
+                return json.loads(self.io.read_text(path))
+            except ValueError as e:
+                last_err = e
+                time.sleep(0.01)
+        raise ValueError(f"unparseable manifest {path}") from last_err
 
     def manifest(self, version: int | None = None) -> dict:
         """Latest manifest, or a pinned historical ``version`` (time travel
@@ -182,14 +219,12 @@ class LakeTable:
             name = f"manifest-{version:08d}.json"
             if name not in names:
                 raise FileNotFoundError(f"no version {version} at {self.path}")
-            with open(os.path.join(self.path, MANIFEST_DIR, name)) as f:
-                return json.load(f)
+            return self._load_manifest(name)
         latest = names[-1]
         v = int(latest[len("manifest-") : -len(".json")])
         if v == self._manifest_cache_version and self._manifest_cache:
             return self._manifest_cache
-        with open(os.path.join(self.path, MANIFEST_DIR, latest)) as f:
-            m = json.load(f)
+        m = self._load_manifest(latest)
         self._manifest_cache, self._manifest_cache_version = m, v
         return m
 
@@ -201,25 +236,19 @@ class LakeTable:
     def _publish(self, manifest: dict) -> None:
         """Atomically publish ``manifest`` as the next version.
 
-        ``os.link`` fails with EEXIST if a concurrent writer already
-        published this version — the caller's work is then discarded
-        (optimistic concurrency). On object stores this would be a
-        conditional-PUT / catalog compare-and-swap instead.
+        The FileIO's ``publish_atomic`` is a compare-and-swap: it fails
+        with FileExistsError if a concurrent writer already published
+        this version and the caller's work is then discarded (optimistic
+        concurrency). LocalFileIO implements it with tmp-write +
+        ``os.link``; GenericFileIO with an exclusive create — the local
+        analog of an object store's conditional PUT.
         """
         v = manifest["version"]
-        d = os.path.join(self.path, MANIFEST_DIR)
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        final = os.path.join(d, f"manifest-{v:08d}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
+        final = os.path.join(self.path, MANIFEST_DIR, f"manifest-{v:08d}.json")
         try:
-            os.link(tmp, final)
+            self.io.publish_atomic(final, json.dumps(manifest))
         except FileExistsError as e:
             raise CommitConflict(f"version {v} already committed at {self.path}") from e
-        finally:
-            os.unlink(tmp)
         self._manifest_cache, self._manifest_cache_version = manifest, v
 
     # ------------------------------------------------------------------
@@ -386,7 +415,7 @@ class LakeTable:
         # the only Spark job this maintenance op runs (no counting scans)
         before = sum(
             e.get("rows") if e.get("rows") is not None
-            else _footer_rows(os.path.join(self.path, e["path"]))
+            else _footer_rows(os.path.join(self.path, e["path"]), self.io)
             for e in entries
         )
         after = sum(e["rows"] for es in new_entries.values() for e in es)
@@ -414,11 +443,11 @@ class LakeTable:
         m = self.manifest()
         sv = m["current_schema_version"]
         entries: dict[str, list[dict]] = {}
-        for bdir in os.listdir(out):
+        for bdir in self.io.listdir(out):
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             bucket = bdir.split("=", 1)[1]
-            for fn in os.listdir(os.path.join(out, bdir)):
+            for fn in self.io.listdir(os.path.join(out, bdir)):
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(out, bdir, fn)
@@ -426,11 +455,11 @@ class LakeTable:
                     {
                         "path": os.path.join(rel, bdir, fn),
                         "sv": sv,
-                        "bytes": os.path.getsize(full),
+                        "bytes": self.io.getsize(full),
                         # footer-read row count: lets metrics (vacuumed
                         # rows, rows_applied) come from the manifest
                         # instead of extra counting jobs
-                        "rows": _footer_rows(full),
+                        "rows": _footer_rows(full, self.io),
                     }
                 )
         return entries
@@ -662,15 +691,13 @@ class LakeTable:
         if result.get("skipped"):
             # epoch raced to committed while we were writing — discard
             # the unreferenced files (readers only see manifest entries)
-            import shutil
-
             dirs = {
                 os.path.dirname(os.path.dirname(e["path"]))
                 for es in new_entries.values()
                 for e in es
             }
             for d in dirs:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                self.io.remove_tree(os.path.join(self.path, d))
         return result
 
     def compact_deltas(self, buckets: list[str] | None = None) -> dict:

@@ -104,6 +104,7 @@ def apply_cdc_batch(
     fast_path: bool = True,
     batch_dedup: bool = False,
     lineage: LineageLog | None = None,
+    io=None,
 ) -> dict:
     """Apply one micro-batch of change events to the warehouse.
 
@@ -118,6 +119,11 @@ def apply_cdc_batch(
     ErrorCollectingRecordReader.java:58-73).
     """
     assert error_mode in MODES, error_mode
+    from ..lakehouse.fileio import get_fileio
+
+    # driver-side commit IO backend ("local" | "generic" | FileIO);
+    # default resolves $MTP_FILEIO — see lakehouse/fileio.py
+    io = get_fileio(io)
     if lineage is None:
         lineage = LineageLog(warehouse)
 
@@ -163,6 +169,7 @@ def apply_cdc_batch(
                 compact_threshold=compact_threshold,
                 minor_compact_threshold=minor_compact_threshold,
                 batch_dedup=batch_dedup,
+                io=io,
             )
             batch_stats = results.pop("_batch", {})
             unsafe_names = batch_stats.get("unsafe_tables", [])
@@ -274,6 +281,7 @@ def apply_cdc_batch(
         max_parallel_tables,
         validate,
         lineage,
+        io,
     )
 
 
@@ -316,6 +324,7 @@ def _apply_isolated(
     max_parallel_tables: int,
     validate: bool,
     lineage: LineageLog,
+    io=None,
 ) -> dict:
     """Per-table isolated apply: one merge job per table, failures
     contained to their table (slow path / error-isolation path)."""
@@ -390,6 +399,7 @@ def _apply_isolated(
                     mode=table_mode,
                     compact_threshold=compact_threshold,
                     minor_compact_threshold=minor_compact_threshold,
+                    io=io,
                 )
                 m = lt.merge_into(changes, app_id=app_id, epoch=epoch)
                 results[t] = m

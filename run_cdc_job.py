@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("--progress-listener", action="store_true",
                    help="also log engine-reported per-trigger progress "
                         "to <warehouse>/_lineage/progress.jsonl")
+    p.add_argument("--fileio", default=None, choices=["local", "generic"],
+                   help="driver-side commit IO backend: 'local' (hard "
+                        "links + link CAS; default) or 'generic' (copy + "
+                        "exclusive-create — the object-store shape). "
+                        "Defaults to $MTP_FILEIO or 'local'.")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,6 +80,7 @@ def main() -> None:
         block_tables=tuple(t for t in args.block_tables.split(",") if t),
         batch_dedup=args.batch_dedup,
         progress_listener=args.progress_listener,
+        io=args.fileio,
     )
     q.awaitTermination()
     if args.progress_listener:

@@ -1083,6 +1083,100 @@ WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_final_state_compound_pk(spark, sf_dir):
+    """CDC replay keyed on a COMPOUND primary key (k1, k2) — reference
+    parity for ``primaryKey: List<String>`` (DBTableInfo.java:28-50).
+
+    A deterministic change feed is derived from ``events`` (two key
+    columns, op 'D' on 'error' events, token payload), replayed through
+    the engine in multiple epochs with ``key_col=["k1", "k2"]`` (LWW per
+    key TUPLE + tuple bucketing + ledger), and the merged two-table final
+    state is read back; ``tok_sum`` verifies the stored arrays against
+    the closed-form sum. The oracle recomputes the LWW state with
+    QUALIFY over the two-column partition."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from multi_table_plugins_spark.streaming import replay_feed_batches
+
+    ev = _r(spark, sf_dir, "events")
+    g = (F.col("event_id") % 23).cast("long")
+    is_del = F.col("event_type") == "error"
+    n = (F.col("event_id") % 13 + 1).cast("int")
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.concat(F.lit("c"), (g % 2).cast("string")).alias("table_name"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("g"), g.cast("string")).alias("k1"),
+        (F.col("event_id") % 41).cast("long").alias("k2"),
+        F.when(is_del, F.lit(None)).otherwise(
+            F.sequence(F.lit(1).cast("int"), n)
+        ).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int")).otherwise(n).alias("n_tok"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+    )
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_compound_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    feed_dir = os.path.join(work, "feed")
+    wh = os.path.join(work, "wh")
+    feed.repartitionByRange(4, "lsn").write.parquet(feed_dir)
+    files = sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir)
+        if f.endswith(".parquet")
+    )
+    replay_feed_batches(
+        spark, files, wh, files_per_batch=2, n_buckets=8,
+        key_col=["k1", "k2"],
+    )
+    out = None
+    for i in range(2):
+        t = f"c{i}"
+        df = (
+            LakeTable(spark, os.path.join(wh, t))
+            .read()
+            .withColumn("table_name", F.lit(t))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "table_name",
+        "k1",
+        "k2",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+O_CDC_COMPOUND = """
+WITH c AS (
+  SELECT event_id AS lsn,
+         event_id % 23 AS g,
+         'g' || CAST(event_id % 23 AS VARCHAR) AS k1,
+         CAST(event_id % 41 AS BIGINT) AS k2,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(event_id % 13 + 1 AS INT) AS n,
+         event_type AS source
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY k1, k2 ORDER BY lsn DESC) AS rn
+  FROM c
+)
+SELECT 'c' || CAST(g % 2 AS VARCHAR) AS table_name,
+       k1, k2,
+       n AS n_tok,
+       source,
+       CAST((n * (n + 1)) // 2 AS BIGINT) AS tok_sum
+FROM r
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_dedup_exact_clusters(spark, sf_dir):
     # iterative connected-components over the near-dup pair graph →
     # exact cluster dedup. The driver-controlled fixpoint loop is
@@ -1134,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_final_state_compound_pk": q_cdc_final_state_compound_pk,
         "dedup_exact_clusters": q_dedup_exact_clusters,
     }
 
@@ -1166,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": O_PRICING,
         "hourly_rollup": O_HOURLY,
         "cdc_replay_final_state": O_CDC_REPLAY,
+        "cdc_final_state_compound_pk": O_CDC_COMPOUND,
         "minhash_near_dup": _o_minhash_near_dup(),
         "jaccard_near_dup": O_JACCARD_NEAR_DUP,
         "lsh_ann_topk": _o_lsh_ann_topk(),

@@ -74,16 +74,29 @@ def invalid_condition():
     return bad_op | bad_payload
 
 
-def error_projection(reference_name: str, table_col: str = "table_name"):
+def error_projection(
+    reference_name: str,
+    table_col: str = "table_name",
+    columns: "list[str] | None" = None,
+):
     """Projection of an invalid change row into ERROR_SCHEMA shape — the
     Spark-native analog of the reference's InvalidEntry side output
-    (RecordWrapper.java:25-50)."""
+    (RecordWrapper.java:25-50).
+
+    Pass the frame's ``columns`` when the feed may not carry a
+    ``doc_id`` column (e.g. compound-primary-key feeds keyed on other
+    columns) so the message degrades instead of failing analysis."""
     bad_op = ~F.col("op").isin("I", "U", "D")
+    key_desc = (
+        F.col("doc_id").cast("string")
+        if columns is None or "doc_id" in columns
+        else F.lit("<none>")
+    )
     return [
         F.lit(reference_name).alias("reference_name"),
         F.concat(
             F.lit("invalid record doc_id="),
-            F.col("doc_id"),
+            key_desc,
             F.lit(" lsn="),
             F.col("lsn").cast("string"),
             F.when(bad_op, F.lit(": unknown op ")).otherwise(
@@ -103,5 +116,7 @@ def split_valid_invalid(
     """Row-level validation of a change-feed frame → (good, errors)."""
     is_bad = invalid_condition()
     good = df.filter(~is_bad)
-    errors = df.filter(is_bad).select(*error_projection(reference_name, table_col))
+    errors = df.filter(is_bad).select(
+        *error_projection(reference_name, table_col, columns=df.columns)
+    )
     return good, errors

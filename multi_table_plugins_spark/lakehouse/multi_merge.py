@@ -67,7 +67,7 @@ def merge_many(
     compact_threshold: int = 16,
     minor_compact_threshold: int | None = None,
     table_col: str = "table_name",
-    key_col: str = "doc_id",
+    key_col: "str | list[str]" = "doc_id",
     lsn_col: str = "lsn",
     op_col: str = "op",
     allowed_tables: set[str] | None = None,
@@ -84,8 +84,14 @@ def merge_many(
     ``batch_dedup=True`` first reduces the batch to one row per key via a
     keys-only max(lsn) hash-agg (fixed-width buffer — fast) joined back
     broadcast — worth it when hot keys dominate the batch (e.g. a
-    counter-like key receiving most of the feed)."""
+    counter-like key receiving most of the feed).
+
+    ``key_col`` may be a list for compound primary keys (reference
+    parity: DBTableInfo.java:28-50 carries ``primaryKey: List<String>``);
+    dedup, bucketing, and the per-table LWW merge then key on the column
+    tuple in the given order."""
     io = get_fileio(io)
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     payload_schema = payload_schema_of_changes(batch_df.schema)
     internal_fields = list(payload_schema.fields)
     internal_names = [f.name for f in internal_fields]
@@ -112,20 +118,23 @@ def merge_many(
         # broadcast-join winners back — arrays never enter an agg buffer.
         # NB: max_by(struct(<array>)) would fall back to a sort-based
         # aggregate (variable-length buffers don't fit HashAggregate).
-        winners = norm.groupBy(_TABLE_COL, key_col).agg(
+        winners = norm.groupBy(_TABLE_COL, *key_cols).agg(
             F.max(LSN_COL).alias(LSN_COL)
         )
         # no broadcast hint: the winners set is bounded by the batch's
         # distinct-key count, which can be the whole batch — AQE picks a
         # broadcast join at runtime when it actually fits the threshold
-        deduped = norm.join(winners, [_TABLE_COL, key_col, LSN_COL], "inner")
+        deduped = norm.join(winners, [_TABLE_COL, *key_cols, LSN_COL], "inner")
     else:
         deduped = norm
-    keep = [_TABLE_COL, key_col] + [
-        c for c in internal_names if c != key_col
+    keep = [_TABLE_COL, *key_cols] + [
+        c for c in internal_names if c not in key_cols
     ] + [LSN_COL, DELETED_COL]
+    # same murmur3-over-key-tuple expression as LakeTable._bucket_expr —
+    # the write-side bucket ids must match the table layout exactly
     bucketed = deduped.select(*keep).withColumn(
-        _BUCKET_COL, F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+        _BUCKET_COL,
+        F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets)),
     )
 
     staging_rel = f"_staging/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"

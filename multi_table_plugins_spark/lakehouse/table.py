@@ -133,7 +133,7 @@ class LakeTable:
         spark: SparkSession,
         path: str,
         schema: StructType,
-        key: str = "doc_id",
+        key: "str | list[str]" = "doc_id",
         n_buckets: int = 32,
         mode: str = "mor",
         compact_threshold: int = 8,
@@ -142,12 +142,30 @@ class LakeTable:
     ) -> "LakeTable":
         """Create an empty table (atomic; fails if it already exists).
 
+        ``key`` may be a single column name or a list (compound primary
+        key — the reference catalogs ``primaryKey: List<String>`` per
+        table, DBTableInfo.java:28-50): LWW resolution, bucketing, and
+        lookups then operate on the column tuple in the given order.
+
         ``minor_compact_threshold`` (optional, < compact_threshold) turns
         on the two-tier compaction ladder: a bucket whose delta count
         reaches it gets a MINOR delta-merge (O(recent batches)); only at
         ``compact_threshold`` does the MAJOR base fold run — bounding
         read fan-in without O(bucket) rewrites every few batches."""
         io = get_fileio(io)
+        if isinstance(key, (list, tuple)):
+            # single-element lists normalize to the scalar form so
+            # manifests stay byte-identical for the common case
+            key = list(key)[0] if len(key) == 1 else list(key)
+        missing = [
+            k for k in ([key] if isinstance(key, str) else key)
+            if k not in schema.fieldNames()
+        ]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} not in table schema "
+                f"{schema.fieldNames()}"
+            )
         io.makedirs(os.path.join(path, MANIFEST_DIR))
         io.makedirs(os.path.join(path, DATA_DIR))
         manifest = {
@@ -255,8 +273,15 @@ class LakeTable:
     # properties
     # ------------------------------------------------------------------
     @property
-    def key(self) -> str:
+    def key(self) -> "str | list[str]":
         return self.manifest()["key"]
+
+    @property
+    def key_cols(self) -> list[str]:
+        """The primary-key columns as a list (compound keys are stored as
+        a list in the manifest; single keys as a plain string)."""
+        k = self.manifest()["key"]
+        return [k] if isinstance(k, str) else list(k)
 
     @property
     def n_buckets(self) -> int:
@@ -329,16 +354,16 @@ class LakeTable:
         return df
 
     def _lww_resolve(self, df: DataFrame, target: StructType) -> DataFrame:
-        """One row per key: the row with the max ``_lsn``.
+        """One row per key (tuple): the row with the max ``_lsn``.
 
         ``max_by`` hash-aggregates with map-side partial combine — one
-        shuffle keyed on the merge key, no sort. LSNs are globally unique
-        so ties cannot occur between distinct versions.
+        shuffle keyed on the merge key(s), no sort. LSNs are globally
+        unique so ties cannot occur between distinct versions.
         """
-        key = self.key
-        others = [f.name for f in target.fields if f.name != key]
+        keys = self.key_cols
+        others = [f.name for f in target.fields if f.name not in keys]
         agg = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(LSN_COL)).alias("_s")
-        return df.groupBy(key).agg(agg).select(key, "_s.*")
+        return df.groupBy(*keys).agg(agg).select(*keys, "_s.*")
 
     def read(self, with_lsn: bool = False, version: int | None = None) -> DataFrame:
         """Live rows in the user schema (tombstones filtered); ``version``
@@ -348,35 +373,50 @@ class LakeTable:
         return df.drop(*drop)
 
     def lookup(self, key_value) -> DataFrame:
-        """Point read of one key, pruned to its bucket's files.
+        """Point read of one key (a scalar, or a tuple/list for compound
+        keys — values in manifest key order), pruned to its bucket's
+        files.
 
         Bucket layout makes point lookups O(one bucket), not O(table):
         the key's bucket id is computed with the same murmur3 expression
-        rows were written with (evaluated on a literal — no scan), and
+        rows were written with (evaluated on literals — no scan), and
         only that bucket's base+delta entries are read and LWW-resolved.
         At 100x scale this is the difference between reading ~1/n_buckets
         of a table and reading all of it."""
         m = self.manifest()
-        # cast the literal to the key COLUMN's type first: murmur3 hashes
-        # int32 and int64 (etc.) differently, so an untyped literal would
-        # silently pick the wrong bucket for non-string keys
-        key_type = self.schema()[self.key].dataType
+        keys = self.key_cols
+        values = (
+            list(key_value)
+            if isinstance(key_value, (list, tuple))
+            else [key_value]
+        )
+        if len(values) != len(keys):
+            raise ValueError(
+                f"lookup expects {len(keys)} key value(s) for {keys}, "
+                f"got {len(values)}"
+            )
+        schema = self.schema()
+        # cast each literal to its key COLUMN's type first: murmur3
+        # hashes int32 and int64 (etc.) differently, so an untyped
+        # literal would silently pick the wrong bucket for non-string keys
+        lits = [
+            F.lit(v).cast(schema[k].dataType) for k, v in zip(keys, values)
+        ]
         bucket = str(
             self.spark.range(1)
-            .select(
-                F.pmod(
-                    F.hash(F.lit(key_value).cast(key_type)), F.lit(self.n_buckets)
-                )
-            )
+            .select(F.pmod(F.hash(*lits), F.lit(self.n_buckets)))
             .first()[0]
         )
-        target = self._internal_schema(self.schema())
+        target = self._internal_schema(schema)
         b = m["buckets"].get(bucket, {})
         entries = list(b.get("base", [])) + list(b.get("delta", []))
         if not entries:
-            return self.spark.createDataFrame([], self.schema())
+            return self.spark.createDataFrame([], schema)
         df = self._read_files(entries, target, m)
-        resolved = self._lww_resolve(df.filter(F.col(self.key) == key_value), target)
+        cond = F.lit(True)
+        for k, v in zip(keys, values):
+            cond = cond & (F.col(k) == v)
+        resolved = self._lww_resolve(df.filter(cond), target)
         return resolved.filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         ).drop(*BOOKKEEPING_COLS)
@@ -465,7 +505,11 @@ class LakeTable:
         return entries
 
     def _bucket_expr(self):
-        return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
+        # murmur3 over the key tuple, in manifest order — multi_merge's
+        # write-side bucketing must produce the identical expression
+        return F.pmod(
+            F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets)
+        )
 
     def _ensure_schema_version(self, m: dict, schema: StructType) -> int:
         """Return the manifest schema-version whose schema equals
@@ -641,7 +685,6 @@ class LakeTable:
                     "snapshot_id": self.snapshot_id(),
                 }
 
-        key = self.key
         payload_cols = [
             c for c in changes.columns if c not in (lsn_col, op_col) and c != _BUCKET_COL
         ]

@@ -105,11 +105,15 @@ def apply_cdc_batch(
     batch_dedup: bool = False,
     lineage: LineageLog | None = None,
     io=None,
+    key_col: "str | list[str]" = "doc_id",
 ) -> dict:
     """Apply one micro-batch of change events to the warehouse.
 
     Idempotent per (app_id, table, epoch): replaying a committed epoch is
     a no-op (per-table epoch ledger).
+
+    ``key_col`` — the primary key column(s); pass a list for compound
+    keys (tables are created with / merged on the tuple).
 
     ``fast_path`` applies ALL tables with one Spark job
     (lakehouse.multi_merge) — validation/delete/watermark counts ride the
@@ -170,6 +174,7 @@ def apply_cdc_batch(
                 minor_compact_threshold=minor_compact_threshold,
                 batch_dedup=batch_dedup,
                 io=io,
+                key_col=key_col,
             )
             batch_stats = results.pop("_batch", {})
             unsafe_names = batch_stats.get("unsafe_tables", [])
@@ -206,7 +211,9 @@ def apply_cdc_batch(
                 if error_mode == ERROR_PORT:
                     write_errors(
                         batch_df.filter(invalid_condition()).select(
-                            *error_projection(app_id)
+                            *error_projection(
+                                app_id, columns=batch_df.columns
+                            )
                         ),
                         warehouse,
                         app_id=app_id,
@@ -282,6 +289,7 @@ def apply_cdc_batch(
         validate,
         lineage,
         io,
+        key_col,
     )
 
 
@@ -325,6 +333,7 @@ def _apply_isolated(
     validate: bool,
     lineage: LineageLog,
     io=None,
+    key_col: "str | list[str]" = "doc_id",
 ) -> dict:
     """Per-table isolated apply: one merge job per table, failures
     contained to their table (slow path / error-isolation path)."""
@@ -395,6 +404,7 @@ def _apply_isolated(
                     spark,
                     os.path.join(warehouse, t),
                     payload_schema,
+                    key=key_col,
                     n_buckets=n_buckets,
                     mode=table_mode,
                     compact_threshold=compact_threshold,

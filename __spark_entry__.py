@@ -1083,6 +1083,47 @@ WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental near-dup: the corpus (doc_id % 5 != 0) is indexed ONCE
+    into a persisted band-bucketed signature index; the new batch
+    (doc_id % 5 == 0) probes only its matching index partitions. The
+    oracle proves new-batch-vs-index ∪ new-vs-new equals the FULL LSH
+    recompute over all documents restricted to pairs touching the new
+    batch — the core workflow guarantee ("dedup this crawl batch against
+    the existing corpus without recomputing it")."""
+    from multi_table_plugins_spark.operators.incremental import (
+        build_signature_index,
+        incremental_near_dup,
+    )
+
+    import atexit
+    import shutil
+
+    docs = _r(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    work = tempfile.mkdtemp(prefix="mtp_incr_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    idx = os.path.join(work, "sigindex")
+    build_signature_index(
+        old, idx, num_hashes=32, num_bands=16, shingle_k=3,
+        hash_fn="md5", band_hash="md5", n_bh_buckets=32,
+    )
+    pairs = incremental_near_dup(spark, new, idx, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _o_incremental_near_dup() -> str:
+    # the full recompute over ALL documents (same md5 family as the
+    # minhash oracle), restricted to pairs touching the new batch
+    return (
+        "WITH "
+        + _minhash_pair_ctes()
+        + "\nSELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored"
+        "\nWHERE j >= 0.3 AND (id_a % 5 = 0 OR id_b % 5 = 0)"
+    )
+
+
 def q_cdc_final_state_compound_pk(spark, sf_dir):
     """CDC replay keyed on a COMPOUND primary key (k1, k2) — reference
     parity for ``primaryKey: List<String>`` (DBTableInfo.java:28-50).
@@ -1222,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "minhash_near_dup": q_minhash_near_dup,
         "jaccard_near_dup": q_jaccard_near_dup,
+        "incremental_near_dup": q_incremental_near_dup,
         "simhash_signatures": q_simhash_signatures,
         "quality_score": q_quality_score,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1264,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_compound_pk": O_CDC_COMPOUND,
         "minhash_near_dup": _o_minhash_near_dup(),
         "jaccard_near_dup": O_JACCARD_NEAR_DUP,
+        "incremental_near_dup": _o_incremental_near_dup(),
         "lsh_ann_topk": _o_lsh_ann_topk(),
         "ivf_ann_topk": O_IVF_ANN_TOPK,
         "dedup_exact_clusters": _o_dedup_exact_clusters(),

@@ -229,6 +229,97 @@ FROM a GROUP BY split_id
 """
 
 
+def q_pk_range_splits_date(spark, sf_dir):
+    # S6 typed splitter: DATE PK → epoch days → integer splitter
+    # (Hadoop DateSplitter semantics, MultiTableDBInputFormat.java:217-251)
+    df = _r(spark, sf_dir, "orders").withColumn(
+        "o_date", F.to_date("o_orderdate")
+    )
+    out = assign_range_splits(df, "o_date", 4)
+    return (
+        out.groupBy("split_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_date").alias("lo"),
+            F.max("o_date").alias("hi"),
+        )
+        .select(
+            F.col("split_id").cast("int").alias("split_id"),
+            "cnt",
+            F.col("lo").cast("string").alias("lo"),
+            F.col("hi").cast("string").alias("hi"),
+        )
+    )
+
+
+O_PK_RANGE_SPLITS_DATE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS od,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS days
+  FROM orders
+), b AS (SELECT MIN(days) AS mn, MAX(days) AS mx FROM d),
+a AS (
+  SELECT LEAST(CAST(FLOOR((days - b.mn) / ((b.mx - b.mn + 1) / 4.0)) AS INT), 3) AS split_id,
+         od
+  FROM d, b
+)
+SELECT split_id, COUNT(*) AS cnt,
+       CAST(MIN(od) AS VARCHAR) AS lo, CAST(MAX(od) AS VARCHAR) AS hi
+FROM a GROUP BY split_id
+"""
+
+
+def q_pk_range_splits_bool(spark, sf_dir):
+    # S6 typed splitter: BOOLEAN PK → two splits, false -> 0,
+    # true -> min(1, n-1) (BooleanSplitter semantics)
+    df = _r(spark, sf_dir, "orders").withColumn(
+        "big", F.col("o_totalprice") > 150000
+    )
+    out = assign_range_splits(df, "big", 4)
+    return out.groupBy(
+        F.col("split_id").cast("int").alias("split_id")
+    ).agg(F.count("*").alias("cnt"))
+
+
+O_PK_RANGE_SPLITS_BOOL = """
+SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS split_id,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1
+"""
+
+
+def q_pk_range_splits_decimal(spark, sf_dir):
+    # S6 typed splitter: DECIMAL PK → continuous equal-width ranges via
+    # double interpolation (BigDecimalSplitter semantics)
+    df = _r(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(14,2)")
+    )
+    out = assign_range_splits(df, "price_dec", 4)
+    return (
+        out.groupBy("split_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("price_dec").cast("double"), 2).alias("lo"),
+            F.round(F.max("price_dec").cast("double"), 2).alias("hi"),
+        )
+        .select(F.col("split_id").cast("int").alias("split_id"), "cnt", "lo", "hi")
+    )
+
+
+O_PK_RANGE_SPLITS_DECIMAL = """
+WITH d AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS v FROM orders
+), b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM d),
+a AS (
+  SELECT LEAST(CAST(FLOOR((v - b.mn) / ((b.mx - b.mn) / 4.0)) AS INT), 3) AS split_id, v
+  FROM d, b
+)
+SELECT split_id, COUNT(*) AS cnt,
+       ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+FROM a GROUP BY split_id
+"""
+
+
 def _text_frac_sql(col: str, max_chars: int = 8) -> str:
     # LEAST(..., 255) mirrors text_fraction_expr's clamp: ascii() returns
     # the full Unicode codepoint, which must not exceed the base-256
@@ -1244,6 +1335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_range_splits_ts": q_pk_range_splits_ts,
         "pk_range_splits_float": q_pk_range_splits_float,
         "pk_range_splits_text": q_pk_range_splits_text,
+        "pk_range_splits_date": q_pk_range_splits_date,
+        "pk_range_splits_bool": q_pk_range_splits_bool,
+        "pk_range_splits_decimal": q_pk_range_splits_decimal,
         "lww_latest_by_key": q_lww_latest_by_key,
         "salted_lww": q_salted_lww,
         "cdc_final_state": q_cdc_final_state,
@@ -1285,6 +1379,9 @@ def oracle_sql() -> dict[str, str]:
         "pk_range_splits_ts": O_PK_RANGE_SPLITS_TS,
         "pk_range_splits_float": O_PK_RANGE_SPLITS_FLOAT,
         "pk_range_splits_text": _o_pk_range_splits_text(),
+        "pk_range_splits_date": O_PK_RANGE_SPLITS_DATE,
+        "pk_range_splits_bool": O_PK_RANGE_SPLITS_BOOL,
+        "pk_range_splits_decimal": O_PK_RANGE_SPLITS_DECIMAL,
         "lww_latest_by_key": O_LWW,
         "salted_lww": O_SALTED_LWW,
         "cdc_final_state": O_CDC_FINAL,

@@ -56,6 +56,14 @@ def salted_lww_dedup(
          winner side is ≤ #distinct-keys rows, so AQE broadcasts it when
          it fits; the payload arrays cross exactly one shuffle, inside
          the probe side.
+
+    When to use: this is the SKEW-PROOF shape, and on unskewed data it
+    costs ~3-4x a plain ranking window (two aggregations + join-back vs
+    one window; measured in BENCH). Gate on observed skew — e.g. when
+    max(per-key count) / avg exceeds ~10, or a prior batch's straggler
+    task dominates the stage — and use a plain window/``max_by``
+    otherwise. The oracle query runs this path unconditionally only to
+    prove exact window-dedup equivalence.
     """
     from pyspark.sql import Window
 

@@ -96,9 +96,30 @@ class JdbcMultiTableSource:
     where_clause: str | None = None
     fetch_size: int = 1000  # MultiTableConf.java:85-90 default
     splits_per_table: int = 1  # MultiTableConf.java:143-147
+    #: per-statement timeout in seconds (MultiTableConf.java:161-163,
+    #: applied per statement at DBTableRecordReader.java:76-78); 0/None
+    #: = no limit. Maps to Spark JDBC's ``queryTimeout`` read option.
+    query_timeout: int | None = None
+    #: transaction isolation for the read connection
+    #: (TransactionIsolationLevel.java:34-63; the reference defaults to
+    #: SERIALIZABLE). Spark's JDBC ``isolationLevel`` option only
+    #: applies to WRITES, so reads carry it via ``sessionInitStatement``
+    #: (SET TRANSACTION ISOLATION LEVEL ...), the documented seam for
+    #: per-connection session setup.
+    isolation_level: str | None = None
+    #: raw session-init SQL executed on each connection before reading
+    #: (composes after the isolation statement when both are set)
+    session_init: str | None = None
     allow_list: tuple[str, ...] = ()
     block_list: tuple[str, ...] = ()
     extra_options: dict = field(default_factory=dict)
+
+    _ISOLATION_LEVELS = (
+        "READ UNCOMMITTED",
+        "READ COMMITTED",
+        "REPEATABLE READ",
+        "SERIALIZABLE",
+    )
 
     def discover(self, tables: list[str]) -> list[str]:
         """Allow/block filtering over a discovered table list
@@ -131,6 +152,22 @@ class JdbcMultiTableSource:
             "dbtable": dbtable,
             "fetchsize": str(self.fetch_size),
         }
+        if self.query_timeout:
+            # seconds, like the reference's queryTimeoutSeconds
+            opts["queryTimeout"] = str(int(self.query_timeout))
+        init_stmts = []
+        if self.isolation_level:
+            level = self.isolation_level.upper().replace("_", " ")
+            if level not in self._ISOLATION_LEVELS:
+                raise ValueError(
+                    f"unknown isolation level {self.isolation_level!r}; "
+                    f"expected one of {self._ISOLATION_LEVELS}"
+                )
+            init_stmts.append(f"SET TRANSACTION ISOLATION LEVEL {level}")
+        if self.session_init:
+            init_stmts.append(self.session_init)
+        if init_stmts:
+            opts["sessionInitStatement"] = "; ".join(init_stmts)
         if self.driver:
             opts["driver"] = self.driver
         if self.user is not None:

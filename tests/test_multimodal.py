@@ -48,13 +48,63 @@ def test_feature_extraction_plumbing(spark):
     assert feats2["d1"] != feats2["d2"]
 
 
-def test_real_decode_is_explicit_stub(spark):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL present — the real-decode path applies"
+)
+def test_real_decode_refuses_without_codec(spark):
+    # the runtime probe found no PIL: asking for real features must fail
+    # loudly (never silently fall back to the fake)
     df = _media_df(spark)
     with pytest.raises(Exception) as ei:
         extract_media_features(df, deterministic_fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="PIL not in this container (probe-gated)"
+)
+def test_real_decode_with_pil(spark):
+    # runs for real when the environment gains PIL in a later round
+    import io
+
+    from PIL import Image
+
+    from multi_table_plugins_spark.operators.multimodal import (
+        MEDIA_META_SCHEMA,
+        real_image_features,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    feats = real_image_features(png)
+    assert len(feats) == FEATURE_DIM
+    assert all(-1.0 <= float(f) <= 1.0 for f in feats)
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [("d1", png, ("image", "png", 8, 8, None))],
+        StructType(
+            [
+                StructField("doc_id", StringType()),
+                StructField("media", BinaryType()),
+                StructField("media_meta", MEDIA_META_SCHEMA),
+            ]
+        ),
+    )
+    rows = extract_media_features(df, deterministic_fake=False).collect()
+    assert list(rows[0]["features"]) == [float(f) for f in feats]
 
 
 def test_frame_sample_plan(spark):

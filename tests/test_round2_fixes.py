@@ -135,6 +135,43 @@ def test_jdbc_reader_options(spark):
         src.reader_options(JdbcTableSpec(table="users", pk="id", num_partitions=4))
 
 
+def test_jdbc_query_timeout_and_isolation_knobs(spark):
+    # queryTimeoutSeconds (MultiTableConf.java:161-163, applied at
+    # DBTableRecordReader.java:76-78) and the SERIALIZABLE-default
+    # isolation seam (TransactionIsolationLevel.java:34-63) are
+    # first-class reader options now
+    src = JdbcMultiTableSource(
+        spark,
+        url="jdbc:postgresql://host:5432/db",
+        query_timeout=30,
+        isolation_level="serializable",
+        session_init="SET statement_timeout = 60000",
+    )
+    opts = src.reader_options(JdbcTableSpec(table="users"))
+    assert opts["queryTimeout"] == "30"
+    assert opts["sessionInitStatement"] == (
+        "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE; "
+        "SET statement_timeout = 60000"
+    )
+    # underscore spelling normalizes; bogus levels refuse loudly
+    src2 = JdbcMultiTableSource(
+        spark, url="jdbc:h2:mem:", isolation_level="repeatable_read"
+    )
+    assert (
+        src2.reader_options(JdbcTableSpec(table="t"))["sessionInitStatement"]
+        == "SET TRANSACTION ISOLATION LEVEL REPEATABLE READ"
+    )
+    with pytest.raises(ValueError, match="isolation level"):
+        JdbcMultiTableSource(
+            spark, url="jdbc:h2:mem:", isolation_level="chaos"
+        ).reader_options(JdbcTableSpec(table="t"))
+    # unset knobs leave the option dict clean (no stray keys)
+    plain = JdbcMultiTableSource(spark, url="jdbc:h2:mem:").reader_options(
+        JdbcTableSpec(table="t")
+    )
+    assert "queryTimeout" not in plain and "sessionInitStatement" not in plain
+
+
 def test_jdbc_allow_block_discovery(spark):
     src = JdbcMultiTableSource(
         spark, url="jdbc:h2:mem:", allow_list=("a", "b"), block_list=("b",)

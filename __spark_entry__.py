@@ -1325,6 +1325,253 @@ def q_dedup_exact_clusters(spark, sf_dir):
     return dedup_keep_canonical(docs, pairs).select("doc_id", "source")
 
 
+def q_scd2_history(spark, sf_dir):
+    # CDC → SCD2: validity intervals per business key from the change
+    # stream (one key-shuffle + per-key sorted window; no global sort)
+    from multi_table_plugins_spark.operators.scd2 import scd2_history
+
+    ev = _r(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, keys=["user_id"], order_by=["ts", "event_id"], payload=["event_type", "value"]
+    )
+    return hist.withColumn("value", F.round("value", 4))
+
+
+O_SCD2_HISTORY = """
+SELECT user_id, event_type, ROUND(value, 4) AS value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS version_num,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM events
+"""
+
+
+def q_scd2_as_of(spark, sf_dir):
+    # point-in-time navigation over the SCD2 frame: exactly one version
+    # per key that has any history at or before the probe instant
+    from multi_table_plugins_spark.operators.scd2 import scd2_as_of, scd2_history
+
+    ev = _r(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, keys=["user_id"], order_by=["ts", "event_id"], payload=["event_type", "value"]
+    )
+    asof = scd2_as_of(hist, F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return asof.select(
+        "user_id", "event_type", F.round("value", 4).alias("value"), "version_num"
+    )
+
+
+O_SCD2_AS_OF = """
+WITH h AS (
+  SELECT user_id, event_type, ROUND(value, 4) AS value,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS version_num
+  FROM events
+)
+SELECT user_id, event_type, value, version_num FROM h
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    # concat-and-chunk packing plan via the distributed two-stage prefix
+    # sum (range-split + per-split window + broadcast base offsets) —
+    # NOT the naive global ordered window, which is single-partition
+    from multi_table_plugins_spark.operators.curation import sequence_pack
+
+    docs = _r(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return sequence_pack(base, "doc_id", "n_tokens", budget=2048, num_splits=8)
+
+
+O_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+       CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    # deterministic hash-gated Bernoulli per language stratum — stable
+    # across runs/partitionings/engines, zero-shuffle filter
+    from multi_table_plugins_spark.operators.curation import (
+        sample_key,
+        stratified_sample,
+    )
+
+    docs = _r(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        fractions={"en": 0.5, "de": 0.3, "zh": 0.2},
+        default_fraction=0.1,
+    )
+    return kept.select(
+        "doc_id", "lang", F.round(sample_key("doc_id"), 4).alias("sample_key")
+    )
+
+
+O_STRATIFIED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+             / 281474976710656.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, ROUND(u, 4) AS sample_key FROM s
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'zh' THEN 0.2
+          ELSE 0.1 END
+"""
+
+
+def q_contamination_overlap(spark, sf_dir):
+    # per-doc fraction of distinct 3-shingles leaking from the held-out
+    # eval slice (broadcast probe, one keyed agg)
+    from multi_table_plugins_spark.operators.curation import contamination_overlap
+
+    docs = _r(spark, sf_dir, "documents")
+    return contamination_overlap(docs, k=3, eval_mod=97)
+
+
+O_CONTAMINATION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shingles
+    FROM w
+  ) WHERE len(shingles) > 0
+), ev AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT tr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(ev.s) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COUNT(ev.s) AS DOUBLE) / COUNT(*), 4) AS contamination_frac
+FROM tr LEFT JOIN ev ON ev.s = tr.s
+GROUP BY tr.doc_id
+"""
+
+
+def q_repetition_quality(spark, sf_dir):
+    # Gopher-style repetition signals: dup-word fraction (Catalyst-only)
+    # + top-2-gram share (explode → two hash aggs; never a per-row HOF
+    # mode count, which is O(n^2) interpreted per doc)
+    from multi_table_plugins_spark.operators.curation import repetition_metrics
+
+    docs = _r(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+O_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents
+), wstats AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0
+              THEN ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+              ELSE 0.0 END AS dup_word_frac
+  FROM w
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS g
+  FROM w
+), gc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g
+), gt AS (
+  SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_2gram_frac
+  FROM gc GROUP BY doc_id
+)
+SELECT wstats.doc_id, wstats.dup_word_frac,
+       COALESCE(gt.top_2gram_frac, 0.0) AS top_2gram_frac
+FROM wstats LEFT JOIN gt ON gt.doc_id = wstats.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    # PII detect + redact. The synthetic documents contain no PII, so
+    # the probe text is constructed deterministically from events (same
+    # expression on both sides) — emails, dotted-quad IPs, long id
+    # numbers — making the parity check non-vacuous.
+    from multi_table_plugins_spark.operators.curation import pii_scrub
+
+    ev = _r(spark, sf_dir, "events")
+    probe = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("user_id").cast("string"),
+            F.lit(" at u"),
+            F.col("user_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".1 ref "),
+            (F.col("event_id") * 1000000 + 123456789).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = pii_scrub(probe, id_col="event_id", text_col="text")
+    return out.select(
+        "event_id",
+        "n_emails",
+        "n_ips",
+        "n_idnums",
+        F.md5("redacted_text").alias("redacted_hash"),
+    )
+
+
+O_PII_SCRUB = r"""
+WITH probe AS (
+  SELECT event_id,
+         'contact user' || CAST(user_id AS VARCHAR) || ' at u'
+           || CAST(user_id AS VARCHAR) || '@example.com or 10.0.'
+           || CAST(user_id % 256 AS VARCHAR) || '.1 ref '
+           || CAST(event_id * 1000000 + 123456789 AS VARCHAR) || ' end' AS text
+  FROM events
+)
+SELECT event_id,
+       CAST(length(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(length(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_idnums,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{9,}\b', '<IDNUM>', 'g')) AS redacted_hash
+FROM probe
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multi_table_union_tagged": q_multi_table_union_tagged,
@@ -1366,6 +1613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_final_state_compound_pk": q_cdc_final_state_compound_pk,
         "dedup_exact_clusters": q_dedup_exact_clusters,
+        "scd2_history": q_scd2_history,
+        "scd2_as_of": q_scd2_as_of,
+        "sequence_pack": q_sequence_pack,
+        "stratified_sample": q_stratified_sample,
+        "contamination_overlap": q_contamination_overlap,
+        "repetition_quality": q_repetition_quality,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1410,4 +1664,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _o_simhash_signatures(),
         "quality_score": O_QUALITY_SCORE,
         "embedding_near_dup": _o_embedding_near_dup(),
+        "scd2_history": O_SCD2_HISTORY,
+        "scd2_as_of": O_SCD2_AS_OF,
+        "sequence_pack": O_SEQUENCE_PACK,
+        "stratified_sample": O_STRATIFIED_SAMPLE,
+        "contamination_overlap": O_CONTAMINATION,
+        "repetition_quality": O_REPETITION,
+        "pii_scrub": O_PII_SCRUB,
     }

@@ -33,10 +33,16 @@ def words(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles (n-grams) as strings — the unit set for MinHash /
-    Jaccard near-dup. Built with sequence+transform+slice: pure JVM."""
+    Jaccard near-dup. Built with sequence+transform+slice: pure JVM.
+
+    Documents with fewer than k words yield an EMPTY array — the n < k
+    branch must be explicit because ``sequence(1, 0)`` in Spark counts
+    *down* ([1, 0]), and index 0 is an illegal ``slice`` start."""
     w = words(text)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
 
 

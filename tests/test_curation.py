@@ -1,0 +1,199 @@
+"""Curation + SCD2 operator semantics that the oracle parity check
+can't see: scale-shape assertions (no single-partition global window),
+determinism under repartitioning, interval algebra, and detection on
+crafted PII."""
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from multi_table_plugins_spark.operators.curation import (
+    contamination_overlap,
+    pii_scrub,
+    repetition_metrics,
+    sample_key,
+    sequence_pack,
+    stratified_sample,
+)
+from multi_table_plugins_spark.operators.scd2 import scd2_as_of, scd2_history
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- packing
+
+def test_sequence_pack_matches_naive_on_sparse_ids(spark):
+    # non-dense, non-zero-based ids in scrambled input order
+    rows = [(i * 7 + 100, (i * 13) % 50 + 1) for i in range(500)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+    got = sequence_pack(df, "doc_id", "n_tokens", budget=64, num_splits=6)
+
+    naive = df.withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    expect = {
+        r["doc_id"]: (r["start_offset"], r["start_offset"] // 64, r["start_offset"] % 64)
+        for r in naive.collect()
+    }
+    for r in got.collect():
+        assert (r["start_offset"], r["seq_id"], r["offset_in_seq"]) == expect[r["doc_id"]]
+
+
+def test_sequence_pack_no_global_single_partition_window(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    got = sequence_pack(df, "doc_id", "n_tokens", budget=128, num_splits=8)
+    p = _plan(got)
+    # the window must be keyed on split_id (hash exchange), never a
+    # SinglePartition collapse — the classic packing scale-killer
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(split_id" in p
+
+
+def test_sequence_pack_empty_and_bad_budget(spark):
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert sequence_pack(empty, "doc_id", "n_tokens", budget=10).count() == 0
+    with pytest.raises(ValueError):
+        sequence_pack(empty, "doc_id", "n_tokens", budget=0)
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    fr = {"en": 0.5, "de": 0.1}
+    a = stratified_sample(df, "doc_id", "lang", fr)
+    b = stratified_sample(df.repartition(13), "doc_id", "lang", fr)
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a == ids_b  # partitioning-independent, unlike df.sample
+    rates = {
+        r["lang"]: r["k"] / r["n"]
+        for r in df.join(a.select("doc_id").withColumn("_k", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.count("_k").alias("k"))
+        .collect()
+    }
+    assert abs(rates["en"] - 0.5) < 0.03 and abs(rates["de"] - 0.1) < 0.02
+
+
+def test_sample_key_seed_changes_selection(spark):
+    df = spark.range(0, 5_000).select(F.col("id").alias("doc_id"))
+    k1 = {r["doc_id"] for r in df.where(sample_key("doc_id", "s1") < 0.2).collect()}
+    k2 = {r["doc_id"] for r in df.where(sample_key("doc_id", "s2") < 0.2).collect()}
+    assert k1 != k2 and 800 < len(k1) < 1200
+
+
+# ---------------------------------------------------------------- SCD2
+
+def _events(spark):
+    rows = [
+        Row(k=1, ts=10, eid=1, v="a"),
+        Row(k=1, ts=20, eid=2, v="b"),
+        Row(k=1, ts=20, eid=3, v="c"),  # tie on ts -> eid breaks it
+        Row(k=1, ts=40, eid=4, v="d"),
+        Row(k=2, ts=15, eid=5, v="x"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    hist = scd2_history(_events(spark), ["k"], ["ts", "eid"], ["v"]).collect()
+    by_key = {}
+    for r in sorted(hist, key=lambda r: (r["k"], r["version_num"])):
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        assert [r["version_num"] for r in versions] == list(range(1, len(versions) + 1))
+        assert sum(r["is_current"] for r in versions) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for cur, nxt in zip(versions, versions[1:]):
+            assert cur["valid_to"] == nxt["valid_from"]  # contiguous, no gaps
+    # the ts tie is ordered by eid: 'b' (eid=2) precedes 'c' (eid=3)
+    k1 = [r["v"] for r in by_key[1]]
+    assert k1 == ["a", "b", "c", "d"]
+
+
+def test_scd2_as_of_returns_one_version_per_live_key(spark):
+    hist = scd2_history(_events(spark), ["k"], ["ts", "eid"], ["v"])
+    asof = scd2_as_of(hist, F.lit(25)).collect()
+    got = {r["k"]: r["v"] for r in asof}
+    assert got == {1: "c", 2: "x"}  # latest version valid at t=25
+    assert scd2_as_of(hist, F.lit(5)).count() == 0  # before any history
+
+    with pytest.raises(ValueError):
+        scd2_history(_events(spark), [], ["ts"], ["v"])
+
+
+# ---------------------------------------------------------------- PII
+
+def test_pii_scrub_detects_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@mail.example.org now"),
+            (2, "server 192.168.1.255 and card 1234567890123456"),
+            (3, "clean text with short 123 and 12345678 numbers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_idnums"]) == (1, 0, 0)
+    assert "<EMAIL>" in out[1]["redacted_text"]
+    assert "alice" not in out[1]["redacted_text"]
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_idnums"]) == (0, 1, 1)
+    assert "<IP>" in out[2]["redacted_text"] and "<IDNUM>" in out[2]["redacted_text"]
+    # 8-digit run is below the >=9 id threshold: untouched
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_idnums"]) == (0, 0, 0)
+    assert out[3]["redacted_text"] == "clean text with short 123 and 12345678 numbers"
+    p = _plan(pii_scrub(df))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ----------------------------------------------------- contamination
+
+def test_contamination_overlap_bounds_and_leak(spark):
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, eval_text),  # eval slice (0 % 5 == 0)
+        (1, eval_text),  # full leak -> frac 1.0
+        (2, "completely different words nowhere near the benchmark corpus"),
+        (3, "short"),  # < 3 words: no shingles, excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_overlap(df, eval_mod=5).collect()}
+    assert set(out) == {1, 2}  # eval doc and shingle-less doc excluded
+    assert out[1]["contamination_frac"] == 1.0
+    assert out[2]["contamination_frac"] < 0.5
+    # the eval membership probe must be a broadcast join, never shuffled
+    p = _plan(contamination_overlap(df, eval_mod=5))
+    assert "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------- repetition
+
+def test_repetition_metrics_flags_templated_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                      # maximal repetition
+            (2, "each word here is quite different truly"),
+            (3, ""),                                    # empty -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["dup_word_frac"] > 0.9 and out[1]["top_2gram_frac"] > 0.4
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_2gram_frac"] < 0.2
+    assert out[3]["dup_word_frac"] == 0.0 and out[3]["top_2gram_frac"] == 0.0

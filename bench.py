@@ -81,6 +81,12 @@ HEADLINE = (
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
+    "scd2_history",
+    "sequence_pack",
+    "stratified_sample",
+    "contamination_overlap",
+    "repetition_quality",
+    "pii_scrub",
 )
 
 

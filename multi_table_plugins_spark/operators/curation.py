@@ -151,12 +151,17 @@ def contamination_overlap(
     partial-aggregates map-side to one row per (doc, hit/total) before
     the wire. At 100 TB with a real benchmark set (MBs), identical
     shape: broadcast probe + one keyed agg."""
+    # persist the slim (id, shingles) frame: it feeds the eval branch,
+    # the train branch, and the size filter — without the barrier the
+    # interpreted shingle HOF chain re-evaluates per consumer (no CSE in
+    # interpreted projections; measured 2x wall on this operator)
     sh = (
         docs.select(
             _c(id_col).alias(id_col),
             F.array_distinct(word_shingles(text_col, k)).alias("shingles"),
         )
         .where(F.size("shingles") > 0)
+        .persist()
     )
     ev = (
         sh.where(F.col(id_col) % eval_mod == 0)
@@ -167,11 +172,13 @@ def contamination_overlap(
         id_col, F.explode("shingles").alias("s")
     )
     hits = tr.join(F.broadcast(ev.withColumn("_hit", F.lit(1))), "s", "left")
-    return hits.groupBy(id_col).agg(
+    out = hits.groupBy(id_col).agg(
         F.count("*").alias("n_shingles"),
         F.count("_hit").alias("n_contaminated"),
         F.round(F.count("_hit") / F.count("*"), 4).alias("contamination_frac"),
     )
+    out._mtp_cached = sh  # caller may unpersist once materialized
+    return out
 
 
 def repetition_metrics(
@@ -189,11 +196,14 @@ def repetition_metrics(
     interpreted work per document with no common-subexpression
     elimination (measured trap — see simhash history), while the
     explode path partial-aggregates map-side and scales linearly."""
+    # same persist rationale as contamination_overlap: (ws, grams) feed
+    # two aggregation branches; the barrier caps the word/shingle HOF
+    # chain at one evaluation per row
     base = docs.select(
         _c(id_col).alias(id_col),
         words(text_col).alias("ws"),
         word_shingles(text_col, 2).alias("grams"),
-    )
+    ).persist()
     word_stats = base.select(
         id_col,
         F.when(
@@ -212,9 +222,11 @@ def repetition_metrics(
         .groupBy(id_col)
         .agg(F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_2gram_frac"))
     )
-    return word_stats.join(gram_counts, id_col, "left").fillna(
+    out = word_stats.join(gram_counts, id_col, "left").fillna(
         {"top_2gram_frac": 0.0}
     )
+    out._mtp_cached = base  # caller may unpersist once materialized
+    return out
 
 
 #: PII patterns — deliberately RE2-safe subsets (no backrefs/lookahead)

@@ -173,13 +173,14 @@ def test_contamination_overlap_bounds_and_leak(spark):
         (3, "short"),  # < 3 words: no shingles, excluded
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r["doc_id"]: r for r in contamination_overlap(df, eval_mod=5).collect()}
+    res = contamination_overlap(df, eval_mod=5)
+    out = {r["doc_id"]: r for r in res.collect()}
     assert set(out) == {1, 2}  # eval doc and shingle-less doc excluded
     assert out[1]["contamination_frac"] == 1.0
     assert out[2]["contamination_frac"] < 0.5
     # the eval membership probe must be a broadcast join, never shuffled
-    p = _plan(contamination_overlap(df, eval_mod=5))
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastHashJoin" in _plan(res)
+    res._mtp_cached.unpersist()
 
 
 # ---------------------------------------------------------- repetition
@@ -193,7 +194,9 @@ def test_repetition_metrics_flags_templated_text(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    res = repetition_metrics(df)
+    out = {r["doc_id"]: r for r in res.collect()}
     assert out[1]["dup_word_frac"] > 0.9 and out[1]["top_2gram_frac"] > 0.4
     assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_2gram_frac"] < 0.2
     assert out[3]["dup_word_frac"] == 0.0 and out[3]["top_2gram_frac"] == 0.0
+    res._mtp_cached.unpersist()

@@ -1325,6 +1325,167 @@ def q_dedup_exact_clusters(spark, sf_dir):
     return dedup_keep_canonical(docs, pairs).select("doc_id", "source")
 
 
+def q_cdc_time_travel(spark, sf_dir):
+    """Time travel, oracle-checked: replay the derived feed in two
+    epochs, then read every table AS OF the snapshot committed by epoch
+    0 (``LakeTable.read(version=...)``). The oracle recomputes LWW over
+    only the first epoch's events (lsn below the midpoint — the same
+    deterministic cut on both sides)."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from multi_table_plugins_spark.streaming import replay_feed_batches
+
+    ev = _r(spark, sf_dir, "events")
+    k = (F.col("event_id") % 997).cast("long")
+    st = (F.col("event_id") % 100).cast("int")
+    n = (F.col("event_id") % 37 + 1).cast("int")
+    is_del = F.col("event_type") == "error"
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.concat(F.lit("t"), (k % 4).cast("string")).alias("table_name"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("d"), k.cast("string")).alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(
+            F.sequence(st, st + n - F.lit(1))
+        ).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int")).otherwise(n).alias("n_tok"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+        F.col("ts"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2  # same integer cut as the oracle
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_timetravel_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    b1 = os.path.join(work, "b1")
+    b2 = os.path.join(work, "b2")
+    feed.where(F.col("lsn") < mid).coalesce(1).write.parquet(b1)
+    feed.where(F.col("lsn") >= mid).coalesce(1).write.parquet(b2)
+    wh = os.path.join(work, "wh")
+
+    def files(d):
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    replay_feed_batches(spark, files(b1), wh, files_per_batch=1, n_buckets=8)
+    asof = {
+        f"t{i}": LakeTable(spark, os.path.join(wh, f"t{i}")).manifest()["version"]
+        for i in range(4)
+    }
+    replay_feed_batches(
+        spark, files(b2), wh, files_per_batch=1, n_buckets=8, start_epoch=1
+    )
+    out = None
+    for i in range(4):
+        t = f"t{i}"
+        df = (
+            LakeTable(spark, os.path.join(wh, t))
+            .read(version=asof[t])
+            .withColumn("table_name", F.lit(t))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "table_name",
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+O_CDC_TIME_TRAVEL = """
+WITH c AS (
+  SELECT event_id % 997 AS k,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS source,
+         CAST(event_id % 37 + 1 AS INT) AS n,
+         CAST(event_id % 100 AS BIGINT) AS st
+  FROM events
+  WHERE event_id < (SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn FROM c
+)
+SELECT 't' || CAST(k % 4 AS VARCHAR) AS table_name,
+       'd' || CAST(k AS VARCHAR) AS doc_id,
+       n AS n_tok,
+       source,
+       CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) AS tok_sum
+FROM r
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_multi_sink_roundtrip(spark, sf_dir):
+    """Dynamic multi-table fan-out sink (K1/K6/K8), oracle-checked via
+    roundtrip: write a tagged nation+region union through
+    ``write_multi_table`` in csv AND orc with a pinned ingesttime
+    partition stamp, read each format back, and return per
+    (format, table) row counts / key sums / the stamp — which the
+    oracle recomputes directly from the source tables."""
+    from multi_table_plugins_spark.sinks.multi_sink import (
+        read_back,
+        write_multi_table,
+    )
+
+    nation = _r(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("name")
+    )
+    region = _r(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k"), F.col("r_name").alias("name")
+    )
+    tagged = nation.withColumn("tablename", F.lit("nation")).unionByName(
+        region.withColumn("tablename", F.lit("region"))
+    )
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_sinkrt_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    out = None
+    for fmt in ("csv", "orc"):
+        base = os.path.join(work, fmt)
+        write_multi_table(
+            tagged, base, split_field="tablename", ingest_time=1700000000, fmt=fmt
+        )
+        back = read_back(
+            spark,
+            base,
+            fmt=fmt,
+            schema="k long, name string" if fmt == "csv" else None,
+        )
+        agg = back.groupBy("tablename").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.min("ingesttime").cast("long").alias("ingesttime"),
+        ).withColumn("fmt", F.lit(fmt))
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("fmt", "tablename", "n_rows", "key_sum", "ingesttime")
+
+
+O_MULTI_SINK_ROUNDTRIP = """
+WITH per_table AS (
+  SELECT 'nation' AS tablename, COUNT(*) AS n_rows,
+         SUM(n_nationkey) AS key_sum FROM nation
+  UNION ALL
+  SELECT 'region', COUNT(*), SUM(r_regionkey) FROM region
+)
+SELECT f.fmt, p.tablename, p.n_rows, CAST(p.key_sum AS BIGINT) AS key_sum,
+       CAST(1700000000 AS BIGINT) AS ingesttime
+FROM per_table p CROSS JOIN (SELECT 'csv' AS fmt UNION ALL SELECT 'orc') f
+"""
+
+
 def q_scd2_history(spark, sf_dir):
     # CDC → SCD2: validity intervals per business key from the change
     # stream (one key-shuffle + per-key sorted window; no global sort)
@@ -1613,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_final_state_compound_pk": q_cdc_final_state_compound_pk,
         "dedup_exact_clusters": q_dedup_exact_clusters,
+        "cdc_time_travel": q_cdc_time_travel,
+        "multi_sink_roundtrip": q_multi_sink_roundtrip,
         "scd2_history": q_scd2_history,
         "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
@@ -1664,6 +1827,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _o_simhash_signatures(),
         "quality_score": O_QUALITY_SCORE,
         "embedding_near_dup": _o_embedding_near_dup(),
+        "cdc_time_travel": O_CDC_TIME_TRAVEL,
+        "multi_sink_roundtrip": O_MULTI_SINK_ROUNDTRIP,
         "scd2_history": O_SCD2_HISTORY,
         "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,

@@ -1325,6 +1325,76 @@ def q_dedup_exact_clusters(spark, sf_dir):
     return dedup_keep_canonical(docs, pairs).select("doc_id", "source")
 
 
+def q_schema_probe(spark, sf_dir):
+    """S3 schema-inference probe, oracle-checked: the source's zero-IO
+    schema probe (parquet footer / WHERE 1=0 JDBC analog) against the
+    catalog's own type metadata (DuckDB information_schema), per
+    MultiTableDBInputFormat.java:274-280 + DBTypes.java:49-63."""
+    from multi_table_plugins_spark.sources.multi_table import MultiTableSource
+
+    src = MultiTableSource(spark, sf_dir)
+    rows = []
+    for t in ("documents", "embeddings", "events", "lineitem"):
+        for pos, f in enumerate(src.schema_of(t).fields, start=1):
+            rows.append((t, f.name, f.dataType.simpleString(), pos))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, data_type string, ordinal int"
+    )
+
+
+O_SCHEMA_PROBE = """
+SELECT table_name, column_name,
+       CASE data_type
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+         WHEN 'FLOAT[]' THEN 'array<float>'
+         ELSE lower(data_type)
+       END AS data_type,
+       CAST(ordinal_position AS INT) AS ordinal
+FROM information_schema.columns
+WHERE table_name IN ('documents', 'embeddings', 'events', 'lineitem')
+"""
+
+
+def q_csv_bytes_policy(spark, sf_dir):
+    """K3 delimited-text byte policy, oracle-checked via roundtrip: a
+    BINARY column fans out through the csv sink (base64-escaped per the
+    StructuredToTextTransformer.java:63-81 bytes policy), is read back
+    as text, and must equal the oracle's direct base64 computation."""
+    from multi_table_plugins_spark.sinks.multi_sink import (
+        read_back,
+        write_multi_table,
+    )
+
+    ev = _r(spark, sf_dir, "events")
+    probe = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("payload"),
+        F.lit("ev").alias("tablename"),
+    )
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_csvbytes_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    write_multi_table(
+        probe, work, split_field="tablename", ingest_time=1700000000, fmt="csv"
+    )
+    back = read_back(spark, work, fmt="csv", schema="event_id long, payload string")
+    return back.select("event_id", "payload")
+
+
+O_CSV_BYTES_POLICY = """
+SELECT event_id,
+       to_base64(unhex(md5(CAST(event_id AS VARCHAR)))) AS payload
+FROM events
+"""
+
+
 def q_cdc_time_travel(spark, sf_dir):
     """Time travel, oracle-checked: replay the derived feed in two
     epochs, then read every table AS OF the snapshot committed by epoch
@@ -1718,18 +1788,24 @@ WITH probe AS (
            || CAST(user_id % 256 AS VARCHAR) || '.1 ref '
            || CAST(event_id * 1000000 + 123456789 AS VARCHAR) || ' end' AS text
   FROM events
+), r1 AS (
+  SELECT event_id, text,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM probe
+), r2 AS (
+  SELECT *, regexp_replace(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM r1
 )
 SELECT event_id,
        CAST(length(regexp_extract_all(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(length(regexp_extract_all(text,
+       CAST(length(regexp_extract_all(t1,
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-       CAST(length(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_idnums,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-           '\b\d{9,}\b', '<IDNUM>', 'g')) AS redacted_hash
-FROM probe
+       CAST(length(regexp_extract_all(t2, '\b\d{9,}\b')) AS BIGINT) AS n_idnums,
+       md5(regexp_replace(t2, '\b\d{9,}\b', '<IDNUM>', 'g')) AS redacted_hash
+FROM r2
 """
 
 
@@ -1776,6 +1852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_clusters": q_dedup_exact_clusters,
         "cdc_time_travel": q_cdc_time_travel,
         "multi_sink_roundtrip": q_multi_sink_roundtrip,
+        "schema_probe": q_schema_probe,
+        "csv_bytes_policy": q_csv_bytes_policy,
         "scd2_history": q_scd2_history,
         "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
@@ -1829,6 +1907,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _o_embedding_near_dup(),
         "cdc_time_travel": O_CDC_TIME_TRAVEL,
         "multi_sink_roundtrip": O_MULTI_SINK_ROUNDTRIP,
+        "schema_probe": O_SCHEMA_PROBE,
+        "csv_bytes_policy": O_CSV_BYTES_POLICY,
         "scd2_history": O_SCD2_HISTORY,
         "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,

@@ -163,11 +163,21 @@ class LocalFileIO(_PosixBase):
 
 
 class GenericFileIO(_PosixBase):
-    """No-hard-link backend: copy promotion + exclusive-create publish.
+    """Object-store-shaped backend: copy promotion + conditional-PUT
+    publish. Data files are never hard-linked (``add_file`` materializes
+    an independent object — the upload/server-side-copy shape).
 
-    The exclusive create (``O_CREAT|O_EXCL``) is the local analog of an
-    object store's conditional PUT: exactly one of two racing writers
-    can create the manifest, preserving the commit CAS without links.
+    A real object store's conditional PUT (``If-None-Match: *``) is
+    atomic over the whole object body: a reader can never observe a
+    partial manifest and a writer killed mid-PUT leaves nothing behind.
+    The local *emulation* must reproduce both properties; POSIX's only
+    atomic full-content claim is ``link(2)``, so the body is staged to a
+    temp file and the version slot is claimed with one link (EEXIST =
+    lost the CAS race; a crash mid-publish leaves only an unclaimed temp
+    file, never a wedged version slot). A filesystem without link
+    support falls back to exclusive-create + one pre-encoded write —
+    CAS-correct, but with a residual (documented) crash window between
+    create and write in which a SIGKILL can leave an empty manifest.
     """
 
     name = "generic"
@@ -176,9 +186,36 @@ class GenericFileIO(_PosixBase):
         shutil.copyfile(src, dst)
 
     def publish_atomic(self, path: str, data: str) -> None:
+        import errno
+
+        payload = data.encode()
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp-{uuid.uuid4().hex}"
+        )
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, path)  # atomic claim: full content or EEXIST
+        except OSError as e:
+            if isinstance(e, FileExistsError):
+                raise  # lost the CAS race — caller maps to CommitConflict
+            if e.errno in (errno.EPERM, errno.EOPNOTSUPP, errno.EXDEV):
+                self._publish_exclusive_create(path, payload)
+            else:
+                raise
+        finally:
+            os.unlink(tmp)
+
+    @staticmethod
+    def _publish_exclusive_create(path: str, payload: bytes) -> None:
+        """Linkless fallback: O_EXCL create + one write + fsync."""
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            os.write(fd, data.encode())
+            os.write(fd, payload)
             os.fsync(fd)
         except BaseException:
             # the partially created object must not poison the version

@@ -177,6 +177,15 @@ def merge_many(
                 f"table {table!r} has n_buckets={lt.n_buckets}, batch was "
                 f"bucketed with {n_buckets}; pass the table's value"
             )
+        if lt.key_cols != key_cols:
+            # same corruption class as a bucket-count mismatch: the
+            # bucket hash is order-sensitive over the key tuple, so a
+            # reordered/different key would land every file in the
+            # wrong bucket while committing cleanly
+            raise ValueError(
+                f"table {table!r} has key {lt.key_cols}, batch was "
+                f"bucketed on {key_cols}; pass the table's key order"
+            )
         dest_rel = f"{DATA_DIR}/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"
         entries: dict[str, list[dict]] = {}
         total_rows = 0

@@ -154,6 +154,10 @@ class LakeTable:
         read fan-in without O(bucket) rewrites every few batches."""
         io = get_fileio(io)
         if isinstance(key, (list, tuple)):
+            if not key:
+                # an empty tuple would commit a manifest whose merges
+                # hash zero columns and whose LWW collapses globally
+                raise ValueError("key must name at least one column")
             # single-element lists normalize to the scalar form so
             # manifests stay byte-identical for the common case
             key = list(key)[0] if len(key) == 1 else list(key)
@@ -212,19 +216,20 @@ class LakeTable:
         )
 
     def _load_manifest(self, name: str) -> dict:
-        """Read + parse one manifest file. The GenericFileIO publish is an
-        exclusive-create + write (conditional-PUT analog), so unlike the
-        link-published local backend a reader can glimpse a partially
-        written manifest for a few microseconds — retry transient parse
-        failures before declaring corruption."""
+        """Read + parse one manifest file. Both backends publish the
+        manifest body atomically (tmp-write + link claim), so a partial
+        read is only possible on GenericFileIO's linkless-filesystem
+        fallback (exclusive-create + write). Retry with backoff —
+        generous enough to outlast a concurrent writer's write+fsync
+        under I/O load — before declaring corruption."""
         path = os.path.join(self.path, MANIFEST_DIR, name)
         last_err: Exception | None = None
-        for _ in range(5):
+        for attempt in range(8):
             try:
                 return json.loads(self.io.read_text(path))
             except ValueError as e:
                 last_err = e
-                time.sleep(0.01)
+                time.sleep(0.01 * (2 ** attempt))  # ~2.5 s total
         raise ValueError(f"unparseable manifest {path}") from last_err
 
     def manifest(self, version: int | None = None) -> dict:

@@ -242,23 +242,24 @@ def pii_scrub(
     """PII detection + redaction: count and replace emails, dotted-quad
     IPs, and long (≥9-digit) id-like numbers. Replacement order is
     fixed (email → ip → idnum) so the passes compose deterministically
-    — emails are consumed before their digit runs can match IDNUM_RE.
+    — emails are consumed before their digit runs can match IDNUM_RE —
+    and each category is COUNTED on the text its pass actually sees
+    (the previous pass's output), so the audit counts always equal the
+    number of placeholders in the redacted text (counting every pattern
+    on the raw text would overcount, e.g. the digits of
+    ``1234567890@example.com`` as both an email and an id number).
 
     Pure Catalyst ``regexp_count``/``regexp_replace`` — codegen'd,
     zero Python, trivially linear at any scale. Returns the redacted
     text plus per-category counts for audit."""
     t = _c(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ),
-        IDNUM_RE,
-        "<IDNUM>",
-    )
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(after_ip, IDNUM_RE, "<IDNUM>")
     return docs.select(
         _c(id_col).alias(id_col),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(IDNUM_RE)).cast("long").alias("n_idnums"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(IDNUM_RE)).cast("long").alias("n_idnums"),
         redacted.alias("redacted_text"),
     )

@@ -75,9 +75,13 @@ def build_signature_index(
                 f"index at {index_path} was built with {existing}, "
                 f"append requested with {meta} — hash families must match"
             )
-    sigs = minhash_signatures(
+    # keep the handle minhash_signatures attached its persisted base
+    # frame to — .filter() returns a NEW DataFrame without the attribute,
+    # so releasing via the filtered frame would silently leak the cache
+    raw_sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, shingle_k, hash_fn
-    ).filter(F.size("shingles") > 0)
+    )
+    sigs = raw_sigs.filter(F.size("shingles") > 0)
     bands = band_hash_frame(sigs, id_col, num_bands, num_hashes, band_hash)
     (
         bands.withColumn(_BUCKET, F.pmod(F.hash("bh"), F.lit(n_bh_buckets)))
@@ -92,8 +96,7 @@ def build_signature_index(
     os.makedirs(index_path, exist_ok=True)
     with open(meta_path, "w") as f:
         json.dump(meta, f)
-    sigs.unpersist()
-    cached = getattr(sigs, "_mtp_cached", None)
+    cached = getattr(raw_sigs, "_mtp_cached", None)
     if cached is not None:
         cached.unpersist()
     return meta
@@ -132,14 +135,15 @@ def incremental_near_dup(
         meta = json.load(f)
     id_col = meta["id_col"]
 
-    sigs = minhash_signatures(
+    raw_sigs = minhash_signatures(
         new_docs,
         text_col,
         id_col,
         meta["num_hashes"],
         meta["shingle_k"],
         meta["hash_fn"],
-    ).filter(F.size("shingles") > 0)
+    )
+    sigs = raw_sigs.filter(F.size("shingles") > 0)
     new_bands = band_hash_frame(
         sigs, id_col, meta["num_bands"], meta["num_hashes"], meta["band_hash"]
     ).withColumn(_BUCKET, F.pmod(F.hash("bh"), F.lit(meta["n_bh_buckets"])))
@@ -217,5 +221,9 @@ def incremental_near_dup(
         .filter(F.col("jaccard") >= threshold)
     )
     pairs._mtp_probe_paths = paths
-    pairs._mtp_cached = new_bands
+    # both persisted frames the probe holds: the banded batch AND the
+    # minhash base (raw_sigs' attachment would be lost through .filter)
+    pairs._mtp_cached = [new_bands] + (
+        [raw_sigs._mtp_cached] if hasattr(raw_sigs, "_mtp_cached") else []
+    )
     return pairs

@@ -58,7 +58,7 @@ def scd2_as_of(history: DataFrame, ts_expr) -> DataFrame:
     """Point-in-time lookup over an SCD2 frame: the version valid at
     ``ts_expr`` (a Column or literal). Pure filter — pushes down to the
     scan when the history is stored partitioned/sorted by key."""
-    t = F.lit(ts_expr) if not hasattr(ts_expr, "_jc") else ts_expr
+    t = F.lit(ts_expr)  # passes Column arguments through unchanged
     return history.where(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))

@@ -155,7 +155,22 @@ class JdbcMultiTableSource:
         if self.query_timeout:
             # seconds, like the reference's queryTimeoutSeconds
             opts["queryTimeout"] = str(int(self.query_timeout))
-        init_stmts = []
+        if self.isolation_level and self.session_init:
+            # Spark carries ONE sessionInitStatement, executed via a
+            # single Statement.execute(); joining two statements with
+            # ';' fails on drivers that reject multi-statement strings
+            # (MySQL Connector/J default allowMultiQueries=false). Make
+            # the composition the caller's explicit, dialect-aware
+            # choice instead of silently producing a string that breaks
+            # every partition read.
+            raise ValueError(
+                "isolation_level and session_init both set: Spark's JDBC "
+                "source accepts a single sessionInitStatement and many "
+                "drivers reject multi-statement strings — fold the "
+                "isolation SET into session_init in your dialect (e.g. "
+                "session_init='SET TRANSACTION ISOLATION LEVEL "
+                "SERIALIZABLE; ...' where the driver allows it)"
+            )
         if self.isolation_level:
             level = self.isolation_level.upper().replace("_", " ")
             if level not in self._ISOLATION_LEVELS:
@@ -163,11 +178,11 @@ class JdbcMultiTableSource:
                     f"unknown isolation level {self.isolation_level!r}; "
                     f"expected one of {self._ISOLATION_LEVELS}"
                 )
-            init_stmts.append(f"SET TRANSACTION ISOLATION LEVEL {level}")
-        if self.session_init:
-            init_stmts.append(self.session_init)
-        if init_stmts:
-            opts["sessionInitStatement"] = "; ".join(init_stmts)
+            opts["sessionInitStatement"] = (
+                f"SET TRANSACTION ISOLATION LEVEL {level}"
+            )
+        elif self.session_init:
+            opts["sessionInitStatement"] = self.session_init
         if self.driver:
             opts["driver"] = self.driver
         if self.user is not None:

@@ -535,7 +535,15 @@ def run_cdc_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
+    try:
+        q = writer.start()
+    except BaseException:
+        # a listener left registered with query_id forever None would
+        # buffer (bounded) progress of every later query on the session
+        # and never write a record — deregister before propagating
+        if listener is not None:
+            spark.streams.removeListener(listener)
+        raise
     if listener is not None:
         # pin the listener to THIS query (the listener bus is
         # session-global). Events that fire between start() and this

@@ -70,6 +70,12 @@ class ProgressListener:
             query, which keeps both the event (no loss to the race) and
             the isolation guarantee (no foreign-query contamination)."""
 
+            #: pre-assignment buffer cap — a query_id always arrives
+            #: within one trigger in practice; the cap only matters if a
+            #: caller abandons the listener, where dropping the OLDEST
+            #: events bounds driver memory instead of growing forever
+            _PENDING_CAP = 256
+
             def __init__(self):
                 super().__init__()
                 self._qid: str | None = None
@@ -119,6 +125,8 @@ class ProgressListener:
                 with _LOCK:
                     if self._qid is None:
                         self._pending.append(rec)
+                        if len(self._pending) > self._PENDING_CAP:
+                            del self._pending[: -self._PENDING_CAP]
                         return
                     if rec["query_id"] != self._qid:
                         return

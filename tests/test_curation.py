@@ -146,6 +146,7 @@ def test_pii_scrub_detects_and_redacts(spark):
             (1, "mail me at alice.smith+x@mail.example.org now"),
             (2, "server 192.168.1.255 and card 1234567890123456"),
             (3, "clean text with short 123 and 12345678 numbers"),
+            (4, "ref 1234567890@example.com only"),
         ],
         "doc_id long, text string",
     )
@@ -158,6 +159,10 @@ def test_pii_scrub_detects_and_redacts(spark):
     # 8-digit run is below the >=9 id threshold: untouched
     assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_idnums"]) == (0, 0, 0)
     assert out[3]["redacted_text"] == "clean text with short 123 and 12345678 numbers"
+    # counts reflect the redaction composition: the 10-digit run is
+    # consumed by the email pass, so it is NOT also counted as an idnum
+    assert (out[4]["n_emails"], out[4]["n_idnums"]) == (1, 0)
+    assert out[4]["redacted_text"] == "ref <EMAIL> only"
     p = _plan(pii_scrub(df))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 

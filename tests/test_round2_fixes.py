@@ -145,14 +145,31 @@ def test_jdbc_query_timeout_and_isolation_knobs(spark):
         url="jdbc:postgresql://host:5432/db",
         query_timeout=30,
         isolation_level="serializable",
-        session_init="SET statement_timeout = 60000",
     )
     opts = src.reader_options(JdbcTableSpec(table="users"))
     assert opts["queryTimeout"] == "30"
     assert opts["sessionInitStatement"] == (
-        "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE; "
-        "SET statement_timeout = 60000"
+        "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"
     )
+    # session_init alone is passed through verbatim
+    src_si = JdbcMultiTableSource(
+        spark,
+        url="jdbc:postgresql://host:5432/db",
+        session_init="SET statement_timeout = 60000",
+    )
+    assert src_si.reader_options(JdbcTableSpec(table="users"))[
+        "sessionInitStatement"
+    ] == "SET statement_timeout = 60000"
+    # BOTH set refuses loudly: Spark executes ONE sessionInitStatement
+    # and multi-statement strings break on many drivers — the caller
+    # must compose them dialect-aware
+    with pytest.raises(ValueError, match="both set"):
+        JdbcMultiTableSource(
+            spark,
+            url="jdbc:postgresql://host:5432/db",
+            isolation_level="serializable",
+            session_init="SET statement_timeout = 60000",
+        ).reader_options(JdbcTableSpec(table="users"))
     # underscore spelling normalizes; bogus levels refuse loudly
     src2 = JdbcMultiTableSource(
         spark, url="jdbc:h2:mem:", isolation_level="repeatable_read"

@@ -29,6 +29,9 @@ def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+from . import fan_out as _fan_out  # noqa: E402  (shared parallelism guard)
+
+
 def sample_key(id_col: Column | str, seed: str = "") -> Column:
     """Deterministic uniform key in [0, 1): md5 of (seed || id) — the
     standard hash-gated sampling trick. Unlike ``df.sample`` this is
@@ -154,15 +157,20 @@ def contamination_overlap(
     # persist the slim (id, shingles) frame: it feeds the eval branch,
     # the train branch, and the size filter — without the barrier the
     # interpreted shingle HOF chain re-evaluates per consumer (no CSE in
-    # interpreted projections; measured 2x wall on this operator)
-    sh = (
-        docs.select(
+    # interpreted projections; measured 2x wall on this operator). The
+    # size filter must sit ABOVE the persist: placed below, Catalyst
+    # pushes the predicate (rewritten over text) beneath the fan-out
+    # Exchange, evaluating the whole shingle chain a second time on the
+    # unparallelized scan partition (measured 7x on a one-file corpus)
+    sh_all = (
+        _fan_out(docs)
+        .select(
             _c(id_col).alias(id_col),
             F.array_distinct(word_shingles(text_col, k)).alias("shingles"),
         )
-        .where(F.size("shingles") > 0)
         .persist()
     )
+    sh = sh_all.where(F.size("shingles") > 0)
     ev = (
         sh.where(F.col(id_col) % eval_mod == 0)
         .select(F.explode("shingles").alias("s"))
@@ -177,7 +185,7 @@ def contamination_overlap(
         F.count("_hit").alias("n_contaminated"),
         F.round(F.count("_hit") / F.count("*"), 4).alias("contamination_frac"),
     )
-    out._mtp_cached = sh  # caller may unpersist once materialized
+    out._mtp_cached = sh_all  # caller may unpersist once materialized
     return out
 
 
@@ -199,7 +207,7 @@ def repetition_metrics(
     # same persist rationale as contamination_overlap: (ws, grams) feed
     # two aggregation branches; the barrier caps the word/shingle HOF
     # chain at one evaluation per row
-    base = docs.select(
+    base = _fan_out(docs).select(
         _c(id_col).alias(id_col),
         words(text_col).alias("ws"),
         word_shingles(text_col, 2).alias("grams"),

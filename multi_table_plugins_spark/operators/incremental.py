@@ -32,7 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .dedup import band_hash_frame, jaccard, minhash_signatures
+from .dedup import band_hash_frame, jaccard_distinct, minhash_signatures
 
 _BANDS_DIR = "bands"
 _SHINGLES_DIR = "shingles"
@@ -216,7 +216,7 @@ def incremental_near_dup(
             "id_b",
         )
         .select(
-            "id_a", "id_b", jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard")
+            "id_a", "id_b", jaccard_distinct(F.col("_sa"), F.col("_sb")).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )

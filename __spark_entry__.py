@@ -1556,6 +1556,73 @@ FROM per_table p CROSS JOIN (SELECT 'csv' AS fmt UNION ALL SELECT 'orc') f
 """
 
 
+def q_token_near_dup(spark, sf_dir):
+    """Near-dup over PRE-TOKENIZED sequences (the ``tokens`` payload the
+    CDC engine stores, text long gone): LWW-resolve a per-key token
+    array derived from events, then exact token-3-gram Jaccard via the
+    inverted shingle index. Same-generator keys (doc_id % 200) produce
+    prefix-sharing arrays of varying length — graded, deterministic
+    near-dup structure."""
+    from multi_table_plugins_spark.functions.tokens import token_near_dup_pairs
+
+    ev = _r(spark, sf_dir, "events")
+    winners = (
+        ev.select(
+            (F.col("event_id") % 997).cast("long").alias("doc_id"),
+            F.col("event_id").cast("long").alias("lsn"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("lsn").alias("lsn"))
+    )
+    n = (F.col("lsn") % 37 + 1).cast("int")
+    docs = winners.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda j: ((F.col("doc_id") % 200) * 37 + j * j) % 997,
+        ).alias("tokens"),
+    )
+    pairs = token_near_dup_pairs(docs, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+O_TOKEN_NEAR_DUP = """
+WITH w AS (
+  SELECT event_id % 997 AS doc_id, MAX(event_id) AS lsn
+  FROM events GROUP BY event_id % 997
+), tok AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(lsn % 37 + 1 AS INT)),
+             j -> ((doc_id % 200) * 37 + j * j) % 997) AS tokens
+  FROM w
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tokens) - 2, 0) + 1),
+             i -> array_to_string(list_slice(tokens, i, i + 2), '|'))) AS shingles
+  FROM tok
+), shf AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shf
+), rare AS (
+  SELECT inv.doc_id, inv.s FROM inv
+  JOIN (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 50) f ON f.s = inv.s
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM rare l JOIN rare r ON l.s = r.s AND l.doc_id < r.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM cand c
+  JOIN shf sa ON sa.doc_id = c.id_a
+  JOIN shf sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= 0.5
+"""
+
+
 def q_scd2_history(spark, sf_dir):
     # CDC → SCD2: validity intervals per business key from the change
     # stream (one key-shuffle + per-key sorted window; no global sort)
@@ -1854,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_sink_roundtrip": q_multi_sink_roundtrip,
         "schema_probe": q_schema_probe,
         "csv_bytes_policy": q_csv_bytes_policy,
+        "token_near_dup": q_token_near_dup,
         "scd2_history": q_scd2_history,
         "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
@@ -1909,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_sink_roundtrip": O_MULTI_SINK_ROUNDTRIP,
         "schema_probe": O_SCHEMA_PROBE,
         "csv_bytes_policy": O_CSV_BYTES_POLICY,
+        "token_near_dup": O_TOKEN_NEAR_DUP,
         "scd2_history": O_SCD2_HISTORY,
         "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,

@@ -68,6 +68,51 @@ def dedupe_consecutive(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def token_shingles(tokens: Column | str, k: int = 3) -> Column:
+    """k-gram shingles over a TOKEN-ID array (the text-free analog of
+    ``textfns.word_shingles`` for pre-tokenized training sequences):
+    each shingle is the '|'-joined string of k consecutive token ids —
+    the dedup unit when the raw text is gone. Sequences shorter than k
+    yield an empty array (explicit branch — ``sequence(1, 0)`` counts
+    DOWN in Spark and index 0 is an illegal slice start)."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    n = F.size(c)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(c, i, k).cast("array<string>"), "|"),
+    )
+
+
+def token_near_dup_pairs(
+    df,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+):
+    """Exact near-dup pairs over pre-tokenized sequences: inverted
+    token-shingle index + exact Jaccard — same scale shape as the text
+    pipeline (shingle-keyed candidates, stop-shingle cap, one-set-build
+    verify), but over the ``tokens:array<int32>`` payload the CDC engine
+    actually stores, where the original text no longer exists."""
+    from ..operators import fan_out
+    from ..operators.dedup import shingle_jaccard_pairs
+
+    sh_all = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(token_shingles(tokens_col, k)).alias("shingles"),
+        )
+        .persist()
+    )
+    return shingle_jaccard_pairs(sh_all, id_col, threshold, max_df)
+
+
 @pandas_udf(LongType())
 def bpe_token_estimate(text: pd.Series) -> pd.Series:
     """BPE-ish token-count estimate from raw text: ~chars/4 blended with

@@ -205,3 +205,55 @@ def test_repetition_metrics_flags_templated_text(spark):
     assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_2gram_frac"] < 0.2
     assert out[3]["dup_word_frac"] == 0.0 and out[3]["top_2gram_frac"] == 0.0
     res._mtp_cached.unpersist()
+
+
+# ------------------------------------------------- token near-dup
+
+def test_token_shingles_and_near_dup(spark):
+    from multi_table_plugins_spark.functions.tokens import (
+        token_near_dup_pairs,
+        token_shingles,
+    )
+    from multi_table_plugins_spark.operators import release_cached
+
+    df = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 40, 50]),       # 3 shingles
+            (2, [10, 20, 30, 40]),           # prefix of 1 -> J = 2/3
+            (3, [10, 20]),                   # shorter than k -> no shingles
+            (4, [99, 98, 97, 96]),           # disjoint
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    sh = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", token_shingles("tokens", 3).alias("s")).collect()}
+    assert sh[1] == ["10|20|30", "20|30|40", "30|40|50"]
+    assert sh[3] == []
+    pairs = token_near_dup_pairs(df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    release_cached(pairs)
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 2 / 3) < 1e-9
+
+
+def test_jaccard_distinct_equals_general_kernel(spark):
+    """jaccard_distinct must agree with the general kernel on distinct
+    inputs — including empty/identical/disjoint edge sets."""
+    from multi_table_plugins_spark.operators.dedup import (
+        jaccard,
+        jaccard_distinct,
+    )
+
+    rows = [
+        (1, ["a", "b", "c"], ["b", "c", "d"]),
+        (2, [], []),
+        (3, ["x"], []),
+        (4, ["p", "q"], ["p", "q"]),
+        (5, ["m"], ["n"]),
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<string>, b array<string>")
+    out = df.select(
+        jaccard("a", "b").alias("g"), jaccard_distinct("a", "b").alias("d")
+    ).collect()
+    for r in out:
+        assert abs(r["g"] - r["d"]) < 1e-12

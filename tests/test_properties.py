@@ -144,3 +144,67 @@ def test_salted_lww_equals_window_dedup(spark, events):
         .collect()
     }
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100_000), st.integers(0, 80)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 500),
+    st.integers(1, 9),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sequence_pack_equals_naive_prefix_sum(spark, rows, budget, num_splits):
+    """For any id/token-count multiset, any budget, and any split count,
+    the distributed two-stage prefix sum equals the naive global ordered
+    cumsum (zero-token docs and duplicate token counts included)."""
+    from multi_table_plugins_spark.operators.curation import sequence_pack
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"], r["offset_in_seq"])
+        for r in sequence_pack(
+            df, "doc_id", "n_tokens", budget=budget, num_splits=num_splits
+        ).collect()
+    }
+    acc = 0
+    for doc_id, n in sorted(rows):
+        assert got[doc_id] == (acc, acc // budget, acc % budget)
+        acc += n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.integers(1, 30),
+            st.integers(0, 9),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scd2_reconstructs_lww_at_every_instant(spark, events):
+    """SCD2 + as-of at any probe instant must agree with a direct LWW
+    over the events at or before that instant — the temporal-navigation
+    contract, for arbitrary (eid, ts, key) event sets."""
+    from multi_table_plugins_spark.operators.scd2 import scd2_as_of, scd2_history
+
+    rows = [(eid, ts, k, f"v{eid}") for eid, ts, k in events]
+    df = spark.createDataFrame(rows, "eid long, ts long, k long, v string")
+    hist = scd2_history(df, ["k"], ["ts", "eid"], ["v"])
+    probe_ts = sorted({ts for _, ts, _ in events})[len(events) // 2]
+    got = {
+        r["k"]: r["v"]
+        for r in scd2_as_of(hist, F.lit(probe_ts)).collect()
+    }
+    want = {}
+    for eid, ts, k in sorted(events, key=lambda e: (e[1], e[0])):
+        if ts <= probe_ts:
+            want[k] = f"v{eid}"
+    assert got == want

@@ -1556,6 +1556,104 @@ FROM per_table p CROSS JOIN (SELECT 'csv' AS fmt UNION ALL SELECT 'orc') f
 """
 
 
+def q_cdc_scd2_replay(spark, sf_dir):
+    """SCD2 capture through the real engine, oracle-checked: replay the
+    derived feed with ``history_tables=True`` (every change event —
+    deletes included — upserted into ``<t>__history`` keyed on
+    (doc_id, lsn) by the same exactly-once merge machinery), then read
+    validity intervals back with ``read_history``. The oracle recomputes
+    the intervals with a plain window over ALL events."""
+    from multi_table_plugins_spark.streaming import (
+        read_history,
+        replay_feed_batches,
+    )
+
+    ev = _r(spark, sf_dir, "events")
+    k = (F.col("event_id") % 997).cast("long")
+    st = (F.col("event_id") % 100).cast("int")
+    n = (F.col("event_id") % 37 + 1).cast("int")
+    is_del = F.col("event_type") == "error"
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.concat(F.lit("t"), (k % 4).cast("string")).alias("table_name"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("d"), k.cast("string")).alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(
+            F.sequence(st, st + n - F.lit(1))
+        ).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int")).otherwise(n).alias("n_tok"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+        F.col("ts"),
+    )
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_scd2_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    feed_dir = os.path.join(work, "feed")
+    wh = os.path.join(work, "wh")
+    feed.repartitionByRange(4, "lsn").write.parquet(feed_dir)
+    files = sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir)
+        if f.endswith(".parquet")
+    )
+    replay_feed_batches(
+        spark, files, wh, files_per_batch=2, n_buckets=8, history_tables=True
+    )
+    out = None
+    for i in range(4):
+        t = f"t{i}"
+        df = read_history(spark, wh, t, key_cols=["doc_id"]).withColumn(
+            "table_name", F.lit(t)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "table_name",
+        "doc_id",
+        "change_op",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+        "valid_from",
+        "valid_to",
+        "version_num",
+        "is_current",
+    )
+
+
+O_CDC_SCD2_REPLAY = """
+WITH c AS (
+  SELECT event_id % 997 AS k,
+         event_id AS lsn,
+         ts,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(event_id % 37 + 1 AS INT) END AS n,
+         CAST(event_id % 100 AS BIGINT) AS st
+  FROM events
+)
+SELECT 't' || CAST(k % 4 AS VARCHAR) AS table_name,
+       'd' || CAST(k AS VARCHAR) AS doc_id,
+       op AS change_op,
+       n AS n_tok,
+       source,
+       CASE WHEN n IS NULL THEN NULL
+            ELSE CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) END AS tok_sum,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY k ORDER BY ts, lsn) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, lsn) AS BIGINT)
+           AS version_num,
+       LEAD(ts) OVER (PARTITION BY k ORDER BY ts, lsn) IS NULL AS is_current
+FROM c
+"""
+
+
 def q_token_near_dup(spark, sf_dir):
     """Near-dup over PRE-TOKENIZED sequences (the ``tokens`` payload the
     CDC engine stores, text long gone): LWW-resolve a per-key token
@@ -1922,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_probe": q_schema_probe,
         "csv_bytes_policy": q_csv_bytes_policy,
         "token_near_dup": q_token_near_dup,
+        "cdc_scd2_replay": q_cdc_scd2_replay,
         "scd2_history": q_scd2_history,
         "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
@@ -1978,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_probe": O_SCHEMA_PROBE,
         "csv_bytes_policy": O_CSV_BYTES_POLICY,
         "token_near_dup": O_TOKEN_NEAR_DUP,
+        "cdc_scd2_replay": O_CDC_SCD2_REPLAY,
         "scd2_history": O_SCD2_HISTORY,
         "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,

@@ -1,1 +1,7 @@
-from .cdc_pipeline import apply_cdc_batch, replay_feed_batches, run_cdc_stream  # noqa: F401
+from .cdc_pipeline import (  # noqa: F401
+    HISTORY_SUFFIX,
+    apply_cdc_batch,
+    read_history,
+    replay_feed_batches,
+    run_cdc_stream,
+)

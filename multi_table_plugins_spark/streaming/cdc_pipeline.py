@@ -45,8 +45,37 @@ from ..schemas import CHANGE_FEED_SCHEMA, payload_schema_of_changes
 from .lineage import LineageLog
 
 
+#: suffix of the per-table SCD2 version-log tables written by
+#: ``apply_cdc_batch(history_tables=True)``
+HISTORY_SUFFIX = "__history"
+
+
 def _errors_path(warehouse: str) -> str:
     return os.path.join(warehouse, "_errors")
+
+
+def read_history(
+    spark: SparkSession,
+    warehouse: str,
+    table: str,
+    key_cols: "tuple[str, ...] | list[str]" = ("doc_id",),
+) -> DataFrame:
+    """SCD2 validity intervals over a ``<table>__history`` version log
+    captured by ``apply_cdc_batch(history_tables=True)``: one row per
+    version with ``valid_from`` / ``valid_to`` / ``version_num`` /
+    ``is_current`` (see operators/scd2.py), ordered by the change
+    timestamp with the LSN as total-order tiebreak. Delete events appear
+    as versions with ``change_op = 'D'`` — "what did this row look like
+    at time T, and when was it deleted?" is one filter away
+    (:func:`~multi_table_plugins_spark.operators.scd2.scd2_as_of`)."""
+    from ..operators.scd2 import scd2_history
+
+    lt = LakeTable(spark, os.path.join(warehouse, table + HISTORY_SUFFIX))
+    df = lt.read()
+    keys = list(key_cols)
+    order = (["event_ts"] if "event_ts" in df.columns else []) + ["lsn_key"]
+    payload = [c for c in df.columns if c not in keys and c not in order]
+    return scd2_history(df, keys, order, payload)
 
 
 def write_errors(
@@ -106,6 +135,7 @@ def apply_cdc_batch(
     lineage: LineageLog | None = None,
     io=None,
     key_col: "str | list[str]" = "doc_id",
+    history_tables: bool = False,
 ) -> dict:
     """Apply one micro-batch of change events to the warehouse.
 
@@ -114,6 +144,15 @@ def apply_cdc_batch(
 
     ``key_col`` — the primary key column(s); pass a list for compound
     keys (tables are created with / merged on the tuple).
+
+    ``history_tables`` — SCD2 capture: besides the LWW current-state
+    table, every change event (deletes included) is also upserted into
+    ``<table>__history`` keyed on ``(key…, lsn_key)`` — each version is
+    its own key, so the SAME idempotent-merge machinery yields an
+    append-only, exactly-once version log (no new write path, no
+    tombstone semantics to special-case: the original ``op`` rides along
+    as the ``change_op`` payload column, ``ts`` as ``event_ts``). Read
+    validity intervals back with :func:`read_history`.
 
     ``fast_path`` applies ALL tables with one Spark job
     (lakehouse.multi_merge) — validation/delete/watermark counts ride the
@@ -130,6 +169,40 @@ def apply_cdc_batch(
     io = get_fileio(io)
     if lineage is None:
         lineage = LineageLog(warehouse)
+
+    if history_tables:
+        from ..errors import invalid_condition as _invalid
+
+        main = apply_cdc_batch(
+            spark, batch_df, warehouse, epoch, app_id, error_mode,
+            allow_tables, block_tables, n_buckets, table_mode,
+            compact_threshold, minor_compact_threshold,
+            max_parallel_tables, validate, fast_path, batch_dedup,
+            lineage, io, key_col, history_tables=False,
+        )
+        src = batch_df.filter(~_invalid()) if validate else batch_df
+        if allow_tables:
+            src = src.filter(F.col("table_name").isin(*allow_tables))
+        if block_tables:
+            src = src.filter(~F.col("table_name").isin(*block_tables))
+        hist = src.withColumn("change_op", F.col("op")).withColumn(
+            "lsn_key", F.col("lsn")
+        )
+        if "ts" in src.columns:
+            hist = hist.withColumn("event_ts", F.col("ts"))
+        hist = hist.withColumn("op", F.lit("U")).withColumn(
+            "table_name", F.concat(F.col("table_name"), F.lit(HISTORY_SUFFIX))
+        )
+        keys = [key_col] if isinstance(key_col, str) else list(key_col)
+        hres = apply_cdc_batch(
+            spark, hist, warehouse, epoch, app_id, error_mode,
+            (), (), n_buckets, table_mode,
+            compact_threshold, minor_compact_threshold,
+            max_parallel_tables, False, fast_path, batch_dedup,
+            lineage, io, keys + ["lsn_key"], history_tables=False,
+        )
+        main["history"] = hres["tables"]
+        return main
 
     from pyspark.sql import Observation
 

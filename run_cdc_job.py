@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("--progress-listener", action="store_true",
                    help="also log engine-reported per-trigger progress "
                         "to <warehouse>/_lineage/progress.jsonl")
+    p.add_argument("--history-tables", action="store_true",
+                   help="SCD2 capture: also upsert every change event "
+                        "(deletes included) into <table>__history keyed "
+                        "on (key, lsn) — an exactly-once version log; "
+                        "read intervals back with streaming.read_history")
     p.add_argument("--fileio", default=None, choices=["local", "generic"],
                    help="driver-side commit IO backend: 'local' (hard "
                         "links + link CAS; default) or 'generic' (copy + "
@@ -81,6 +86,7 @@ def main() -> None:
         batch_dedup=args.batch_dedup,
         progress_listener=args.progress_listener,
         io=args.fileio,
+        history_tables=args.history_tables,
     )
     q.awaitTermination()
     if args.progress_listener:

@@ -64,6 +64,9 @@ class FileIO:
     def getsize(self, path: str) -> int:
         raise NotImplementedError
 
+    def getmtime(self, path: str) -> float:
+        raise NotImplementedError
+
     def read_text(self, path: str) -> str:
         raise NotImplementedError
 
@@ -113,6 +116,9 @@ class _PosixBase(FileIO):
 
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def getmtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
     def read_text(self, path: str) -> str:
         with open(path) as f:

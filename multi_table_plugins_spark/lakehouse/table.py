@@ -466,6 +466,98 @@ class LakeTable:
         after = sum(e["rows"] for es in new_entries.values() for e in es)
         return {"vacuumed": before - after}
 
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        remove_orphans: bool = False,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> dict:
+        """Snapshot retention (Iceberg ``expire_snapshots`` analog): drop
+        all but the newest ``keep_last`` manifests and delete the data
+        files only those expired snapshots referenced. Without this,
+        time travel retains every superseded base/delta file forever —
+        unbounded storage growth at CDC scale. Pure driver-side metadata
+        + ``FileIO`` deletes; no Spark job.
+
+        ``remove_orphans`` additionally walks the data directory and
+        deletes files no surviving manifest references and whose mtime
+        is older than ``orphan_grace_seconds`` (crashed-writer debris;
+        the grace window protects files a concurrent in-flight commit
+        has written but not yet published — same contract as Iceberg's
+        ``remove_orphan_files`` ``older_than``).
+
+        Time travel to an expired version raises thereafter. Like any
+        snapshot-expiring table format, a reader still holding an
+        expired manifest can fail mid-scan — expire with an operational
+        retention matched to the longest-running reader."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        names = self._manifest_files()
+        keep, expired = names[-keep_last:], names[:-keep_last]
+
+        def files_of(m: dict) -> set:
+            return {
+                e["path"]
+                for b in m["buckets"].values()
+                for kind in ("base", "delta")
+                for e in b.get(kind, [])
+            }
+
+        referenced: set = set()
+        for n in keep:
+            referenced |= files_of(self._load_manifest(n))
+        deleted_files = 0
+        for n in expired:
+            for rel in files_of(self._load_manifest(n)) - referenced:
+                try:
+                    self.io.remove(os.path.join(self.path, rel))
+                    deleted_files += 1
+                except FileNotFoundError:
+                    pass  # shared by two expired manifests — already gone
+        for n in expired:
+            self.io.remove(os.path.join(self.path, MANIFEST_DIR, n))
+        self._manifest_cache_version = -1  # drop any cached expired view
+
+        orphans = 0
+        if remove_orphans:
+            cutoff = time.time() - orphan_grace_seconds
+            data_root = os.path.join(self.path, DATA_DIR)
+
+            def walk(d: str) -> None:
+                nonlocal orphans
+                for name in self.io.listdir(d):
+                    p = os.path.join(d, name)
+                    if self.io.isdir(p):
+                        walk(p)
+                    elif name.endswith(".parquet"):
+                        rel = os.path.relpath(p, self.path)
+                        if rel not in referenced and self.io.getmtime(p) < cutoff:
+                            self.io.remove(p)
+                            orphans += 1
+
+            if self.io.isdir(data_root):
+                walk(data_root)
+
+        # prune emptied run/bucket directories (bottom-up)
+        def prune(d: str) -> None:
+            for name in self.io.listdir(d):
+                p = os.path.join(d, name)
+                if self.io.isdir(p):
+                    prune(p)
+                    self.io.remove_dir_if_empty(p)
+
+        data_root = os.path.join(self.path, DATA_DIR)
+        if self.io.isdir(data_root):
+            prune(data_root)
+        return {
+            "expired_manifests": len(expired),
+            "deleted_files": deleted_files,
+            "orphans_deleted": orphans,
+            "kept_versions": [
+                int(n[len("manifest-") : -len(".json")]) for n in keep
+            ],
+        }
+
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------

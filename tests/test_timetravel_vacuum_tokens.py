@@ -72,3 +72,53 @@ def test_bpe_token_estimate(spark):
     got = [r[0] for r in df.select(bpe_token_estimate("text")).collect()]
     # 0.4*3 + 0.6*(15/4) = 3.45 → 3 ; empty → 0
     assert got == [3, 0]
+
+
+def test_expire_snapshots(spark, tmp_table_dir):
+    import glob
+    import os
+    import time
+
+    import pytest
+
+    t = LakeTable.create(
+        spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=2, compact_threshold=2
+    )
+    for e in range(4):  # several epochs; threshold-2 triggers compactions
+        t.merge_into(
+            _changes(spark, [(e * 10 + 1, "U", "a", [e]), (e * 10 + 2, "U", "b", [e])]),
+            app_id="ex",
+            epoch=e,
+        )
+    versions = t.versions()
+    assert len(versions) >= 4
+    files_before = len(glob.glob(os.path.join(tmp_table_dir, "data", "**", "*.parquet"), recursive=True))
+    keep_from = versions[-2]
+
+    r = t.expire_snapshots(keep_last=2)
+    assert r["expired_manifests"] == len(versions) - 2
+    assert r["kept_versions"] == versions[-2:]
+    # live state untouched; time travel to a KEPT version still works
+    assert _state(t) == {"a": [3], "b": [3]}
+    t.read(version=keep_from).count()
+    # ...but an EXPIRED version is gone for good
+    with pytest.raises(FileNotFoundError):
+        t.manifest(version=versions[0])
+    # superseded files physically deleted
+    files_after = len(glob.glob(os.path.join(tmp_table_dir, "data", "**", "*.parquet"), recursive=True))
+    assert r["deleted_files"] > 0 and files_after < files_before
+
+    # orphan GC: an unreferenced stray parquet is removed once stale
+    stray_dir = os.path.join(tmp_table_dir, "data", "stray")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "orphan.parquet")
+    open(stray, "wb").write(b"junk")
+    r2 = t.expire_snapshots(keep_last=1, remove_orphans=True, orphan_grace_seconds=3600)
+    assert r2["orphans_deleted"] == 0 and os.path.exists(stray)  # inside grace
+    os.utime(stray, (time.time() - 7200, time.time() - 7200))
+    r3 = t.expire_snapshots(keep_last=1, remove_orphans=True, orphan_grace_seconds=3600)
+    assert r3["orphans_deleted"] == 1 and not os.path.exists(stray)
+    assert _state(t) == {"a": [3], "b": [3]}
+
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)

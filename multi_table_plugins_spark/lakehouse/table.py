@@ -470,7 +470,7 @@ class LakeTable:
         self,
         keep_last: int = 1,
         remove_orphans: bool = False,
-        orphan_grace_seconds: float = 3600.0,
+        orphan_grace_seconds: float = 259_200.0,
     ) -> dict:
         """Snapshot retention (Iceberg ``expire_snapshots`` analog): drop
         all but the newest ``keep_last`` manifests and delete the data
@@ -484,7 +484,10 @@ class LakeTable:
         is older than ``orphan_grace_seconds`` (crashed-writer debris;
         the grace window protects files a concurrent in-flight commit
         has written but not yet published — same contract as Iceberg's
-        ``remove_orphan_files`` ``older_than``).
+        ``remove_orphan_files`` ``older_than``, and the same 3-day
+        default: the grace must exceed the LONGEST write job's runtime,
+        or a slow compaction's earliest task files get swept before the
+        job publishes its manifest).
 
         Time travel to an expired version raises thereafter. Like any
         snapshot-expiring table format, a reader still holding an
@@ -515,7 +518,10 @@ class LakeTable:
                 except FileNotFoundError:
                     pass  # shared by two expired manifests — already gone
         for n in expired:
-            self.io.remove(os.path.join(self.path, MANIFEST_DIR, n))
+            try:
+                self.io.remove(os.path.join(self.path, MANIFEST_DIR, n))
+            except FileNotFoundError:
+                pass  # concurrent expire already removed it — idempotent
         self._manifest_cache_version = -1  # drop any cached expired view
 
         orphans = 0

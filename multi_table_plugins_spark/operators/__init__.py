@@ -16,8 +16,15 @@ def fan_out(df):
     ABOVE any persist that follows: Catalyst pushes such predicates
     beneath the repartition Exchange, re-evaluating the chain on the
     unparallelized scan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        parts = df.rdd.getNumPartitions()  # one extra planning pass —
+        # acceptable for these corpus-level operators; Spark Connect has
+        # no df.rdd, so fall through to no-op there (Connect inputs are
+        # remote tables with real partitioning anyway)
+    except Exception:
+        return df
+    if parts < target:
         return df.repartition(target)
     return df
 

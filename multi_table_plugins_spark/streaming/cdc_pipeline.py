@@ -180,11 +180,24 @@ def apply_cdc_batch(
             max_parallel_tables, validate, fast_path, batch_dedup,
             lineage, io, key_col, history_tables=False,
         )
+        clash = {"change_op", "lsn_key", "event_ts"} & set(batch_df.columns)
+        if clash:
+            # withColumn would silently overwrite a user payload column
+            # of the same name in the history table only — refuse loudly
+            raise ValueError(
+                f"history_tables=True reserves column name(s) {sorted(clash)} "
+                "for the version log; rename the payload column(s)"
+            )
         src = batch_df.filter(~_invalid()) if validate else batch_df
         if allow_tables:
             src = src.filter(F.col("table_name").isin(*allow_tables))
         if block_tables:
             src = src.filter(~F.col("table_name").isin(*block_tables))
+        # never capture history OF a history-suffixed table (no
+        # x__history__history); a feed table literally named x__history
+        # alongside x is refused downstream by merge_many's key guard
+        # (LWW key vs (key, lsn_key) mismatch on the shared path)
+        src = src.filter(~F.col("table_name").endswith(HISTORY_SUFFIX))
         hist = src.withColumn("change_op", F.col("op")).withColumn(
             "lsn_key", F.col("lsn")
         )
@@ -202,6 +215,11 @@ def apply_cdc_batch(
             lineage, io, keys + ["lsn_key"], history_tables=False,
         )
         main["history"] = hres["tables"]
+        # a failed history merge must be as visible as a failed main
+        # merge — monitoring keyed on result["failed"] sees both
+        main["failed"] = list(main.get("failed", ())) + list(
+            hres.get("failed", ())
+        )
         return main
 
     from pyspark.sql import Observation

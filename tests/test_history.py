@@ -85,3 +85,31 @@ def test_history_respects_allow_block_lists(spark, tmp_path):
     )
     assert sorted(r["history"]) == ["ta__history"]
     assert not os.path.isdir(os.path.join(wh, "tb" + HISTORY_SUFFIX))
+
+
+def test_history_refuses_reserved_payload_columns(spark, tmp_path):
+    import pytest
+
+    bad = _feed(spark, ROWS0).withColumn("change_op", F.lit("user-data"))
+    with pytest.raises(ValueError, match="reserves column"):
+        apply_cdc_batch(
+            spark, bad, str(tmp_path / "wh"), epoch=0, app_id="h",
+            n_buckets=4, history_tables=True,
+        )
+
+
+def test_history_never_captures_suffix_named_tables(spark, tmp_path):
+    """A feed table already carrying the __history suffix is applied as a
+    normal table but never history-captured (no x__history__history)."""
+    wh = str(tmp_path / "wh")
+    rows = [(1, "ta" + HISTORY_SUFFIX, "I", "x", [1], 1, "s",
+             "2024-01-01 00:00:01")]
+    r = apply_cdc_batch(
+        spark, _feed(spark, rows), wh, epoch=0, app_id="h",
+        n_buckets=4, history_tables=True,
+    )
+    assert sorted(r["tables"]) == ["ta" + HISTORY_SUFFIX]
+    assert r["history"] == {}
+    assert not os.path.isdir(
+        os.path.join(wh, "ta" + HISTORY_SUFFIX + HISTORY_SUFFIX)
+    )

@@ -1654,6 +1654,54 @@ FROM c
 """
 
 
+def q_sessionization(spark, sf_dir):
+    # gap-based sessionization (30-min inactivity) + per-session rollup:
+    # one user-keyed shuffle + sorted window + one hash agg; microsecond
+    # timestamp arithmetic matches the oracle exactly (unix_micros ==
+    # epoch_us)
+    from multi_table_plugins_spark.operators.sessions import session_stats
+
+    ev = _r(spark, sf_dir, "events")
+    return session_stats(
+        ev,
+        "user_id",
+        "ts",
+        gap_seconds=1800,
+        tiebreak=("event_id",),
+        agg_cols={"value_sum": F.round(F.sum("value"), 4)},
+    )
+
+
+O_SESSIONIZATION = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM o
+), numbered AS (
+  SELECT *,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_num
+  FROM flagged
+)
+SELECT user_id, session_num,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       ROUND((MAX(us) - MIN(us)) / 1000000.0, 4) AS duration_secs,
+       ROUND(SUM(value), 4) AS value_sum
+FROM numbered
+GROUP BY user_id, session_num
+"""
+
+
 def q_token_near_dup(spark, sf_dir):
     """Near-dup over PRE-TOKENIZED sequences (the ``tokens`` payload the
     CDC engine stores, text long gone): LWW-resolve a per-key token
@@ -2021,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_bytes_policy": q_csv_bytes_policy,
         "token_near_dup": q_token_near_dup,
         "cdc_scd2_replay": q_cdc_scd2_replay,
+        "sessionization": q_sessionization,
         "scd2_history": q_scd2_history,
         "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
@@ -2078,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_bytes_policy": O_CSV_BYTES_POLICY,
         "token_near_dup": O_TOKEN_NEAR_DUP,
         "cdc_scd2_replay": O_CDC_SCD2_REPLAY,
+        "sessionization": O_SESSIONIZATION,
         "scd2_history": O_SCD2_HISTORY,
         "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,

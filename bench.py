@@ -87,6 +87,8 @@ HEADLINE = (
     "contamination_overlap",
     "repetition_quality",
     "pii_scrub",
+    "sessionization",
+    "token_near_dup",
 )
 
 

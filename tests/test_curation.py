@@ -257,3 +257,52 @@ def test_jaccard_distinct_equals_general_kernel(spark):
     ).collect()
     for r in out:
         assert abs(r["g"] - r["d"]) < 1e-12
+
+
+# --------------------------------------------------- sessionization
+
+def test_sessionize_gap_semantics_and_plan(spark):
+    from multi_table_plugins_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    rows = [
+        # user 1: events at t=0s, 10s, 2000s (gap>30min at 2000? no - gap
+        # is 1800s: 2000-10=1990 > 1800 -> new session), 2005s
+        (1, 1, "2024-01-01 00:00:00.000001"),
+        (2, 1, "2024-01-01 00:00:10"),
+        (3, 1, "2024-01-01 00:33:20"),
+        (4, 1, "2024-01-01 00:33:25"),
+        # user 2: single event
+        (5, 2, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize(df, "user_id", "ts", 1800, tiebreak=("event_id",))
+    got = {r["event_id"]: r["session_num"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    # sub-second boundary: exactly gap == no break, gap+1us == break
+    rows2 = [
+        (1, 9, "2024-01-01 00:00:00.000000"),
+        (2, 9, "2024-01-01 00:30:00.000000"),   # == 1800s: same session
+        (3, 9, "2024-01-01 01:00:00.000001"),   # 1800.000001s: break
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got2 = {
+        r["event_id"]: r["session_num"]
+        for r in sessionize(df2, "user_id", "ts", 1800, ("event_id",)).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 2}
+
+    stats = session_stats(df, "user_id", "ts", 1800, ("event_id",))
+    by = {(r["user_id"], r["session_num"]): r for r in stats.collect()}
+    assert by[(1, 1)]["n_events"] == 2 and by[(1, 2)]["n_events"] == 2
+    assert abs(by[(1, 1)]["duration_secs"] - 9.999999) < 1e-6
+    # plan: the only exchanges are keyed on the user (window + agg reuse
+    # the same partitioning) — no single-partition collapse
+    p = stats._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p

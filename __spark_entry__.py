@@ -1654,6 +1654,49 @@ FROM c
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    # leakage-safe train/val/test assignment: the split key is the
+    # CONTENT fingerprint, so exact duplicates can never straddle
+    # train/test; pure expression, zero shuffle
+    from multi_table_plugins_spark.operators.curation import dataset_split
+
+    docs = _r(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        dataset_split(
+            doc_fingerprint("text"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    )
+
+
+def _o_dataset_split() -> str:
+    # thresholds injected with full float repr so the cumulative-sum
+    # rounding (0.8 + 0.1 = 0.9000000000000001) is bit-identical to the
+    # engine's Python accumulation — a plain 0.9 literal could disagree
+    # on a hash landing inside the 1-ulp window
+    t_train = repr(0.8)
+    t_val = repr(0.8 + 0.1)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))), ' ')) AS fp
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(fp), 1, 12) AS BIGINT)
+             / 281474976710656.0 AS u
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN u < {t_train} THEN 'train'
+            WHEN u < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
 def q_sessionization(spark, sf_dir):
     # gap-based sessionization (30-min inactivity) + per-session rollup:
     # one user-keyed shuffle + sorted window + one hash agg; microsecond
@@ -2070,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_near_dup": q_token_near_dup,
         "cdc_scd2_replay": q_cdc_scd2_replay,
         "sessionization": q_sessionization,
+        "dataset_split": q_dataset_split,
         "scd2_history": q_scd2_history,
         "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
@@ -2128,6 +2172,7 @@ def oracle_sql() -> dict[str, str]:
         "token_near_dup": O_TOKEN_NEAR_DUP,
         "cdc_scd2_replay": O_CDC_SCD2_REPLAY,
         "sessionization": O_SESSIONIZATION,
+        "dataset_split": _o_dataset_split(),
         "scd2_history": O_SCD2_HISTORY,
         "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,

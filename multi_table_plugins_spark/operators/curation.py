@@ -237,6 +237,40 @@ def repetition_metrics(
     return out
 
 
+def dataset_split(
+    split_key: Column | str,
+    fractions: dict[str, float],
+    seed: str = "",
+) -> Column:
+    """Deterministic train/val/test assignment: partition [0, 1) into
+    contiguous ranges sized by ``fractions`` (insertion order) and place
+    each row by ``sample_key(split_key)``. Pass a CONTENT key — e.g.
+    ``doc_fingerprint(text)`` — rather than the row id: exact duplicates
+    then hash to the same range, so a doc and its copies can never
+    straddle train/test (the classic eval-leakage bug that a row-id
+    split bakes in). Pure Catalyst expression; zero shuffle."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+
+    def assign(u: Column) -> Column:
+        # the hash is bound to the lambda variable so the md5 chain
+        # evaluates once per row, not once per threshold branch
+        out = None
+        hi = 0.0
+        for name in names[:-1]:
+            hi += fractions[name]
+            cond = u < hi
+            out = F.when(cond, name) if out is None else out.when(cond, name)
+        last = F.lit(names[-1])
+        return out.otherwise(last) if out is not None else last
+
+    return F.element_at(
+        F.transform(F.array(sample_key(split_key, seed)), assign), 1
+    ).alias("split")
+
+
 #: PII patterns — deliberately RE2-safe subsets (no backrefs/lookahead)
 #: so Spark (Java regex) and any RE2 engine agree token for token.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

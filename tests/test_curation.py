@@ -306,3 +306,48 @@ def test_sessionize_gap_semantics_and_plan(spark):
     # the same partitioning) — no single-partition collapse
     p = stats._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in p
+
+
+# ---------------------------------------------------- dataset split
+
+def test_dataset_split_is_leakage_safe_and_balanced(spark):
+    from multi_table_plugins_spark.functions.textfns import doc_fingerprint
+    from multi_table_plugins_spark.operators.curation import dataset_split
+
+    # 3000 distinct texts + exact duplicates of the first 300
+    base = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body number "), F.col("id").cast("string")).alias("text"),
+    )
+    dups = spark.range(10_000, 10_300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("text body number "), (F.col("id") - 10_000).cast("string")
+        ).alias("text"),
+    )
+    df = base.unionByName(dups)
+    out = df.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        dataset_split(doc_fingerprint("text"), {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+    rows = out.collect()
+    # leakage safety: every fingerprint maps to exactly one split
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fp.values())
+    # balance on the distinct-content population
+    from collections import Counter
+
+    c = Counter(next(iter(v)) for v in
+                ({fp: s for fp, s in by_fp.items()}).values())
+    n = sum(c.values())
+    assert abs(c["train"] / n - 0.8) < 0.03
+    assert abs(c["val"] / n - 0.1) < 0.02
+    assert abs(c["test"] / n - 0.1) < 0.02
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split("doc_id", {"train": 0.5, "test": 0.1})

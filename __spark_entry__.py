@@ -512,11 +512,16 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
-O_DOC_FINGERPRINT = """
-SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
-       )), ' ')) AS fingerprint
+#: DuckDB expression for textfns.doc_fingerprint — shared by every
+#: oracle that keys on content fingerprints so they cannot drift apart
+FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    ")), ' '))"
+)
+
+O_DOC_FINGERPRINT = f"""
+SELECT doc_id, {FP_SQL} AS fingerprint
 FROM documents
 """
 
@@ -1678,10 +1683,7 @@ def _o_dataset_split() -> str:
     t_val = repr(0.8 + 0.1)
     return f"""
 WITH f AS (
-  SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> ''))), ' ')) AS fp
+  SELECT doc_id, {FP_SQL} AS fp
   FROM documents
 ), u AS (
   SELECT doc_id,

@@ -249,6 +249,12 @@ def dataset_split(
     then hash to the same range, so a doc and its copies can never
     straddle train/test (the classic eval-leakage bug that a row-id
     split bakes in). Pure Catalyst expression; zero shuffle."""
+    bad = {k: v for k, v in fractions.items() if not 0 < v <= 1}
+    if bad:
+        # a negative fraction would make a later WHEN branch unreachable
+        # (the cumulative cascade already matched) — that split silently
+        # gets zero rows, so refuse malformed inputs outright
+        raise ValueError(f"fractions must be in (0, 1]: {bad}")
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")

@@ -37,9 +37,7 @@ def sessionize(
     new_session = (
         prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)
     ).cast("int")
-    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_num", F.sum(new_session).over(run).cast("long"))
 
 

@@ -340,8 +340,7 @@ def test_dataset_split_is_leakage_safe_and_balanced(spark):
     # balance on the distinct-content population
     from collections import Counter
 
-    c = Counter(next(iter(v)) for v in
-                ({fp: s for fp, s in by_fp.items()}).values())
+    c = Counter(next(iter(s)) for s in by_fp.values())
     n = sum(c.values())
     assert abs(c["train"] / n - 0.8) < 0.03
     assert abs(c["val"] / n - 0.1) < 0.02

@@ -13,6 +13,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` — the
+    STREAMING form of ``operators.sessions``: events within ``gap`` of
+    each other merge into one session whose state closes (emits, append
+    mode) once the watermark passes ``last_event + gap``; later events
+    for that key open a NEW session instead of unbounded state.
+
+    Works on batch frames too (same expression, no watermark), where it
+    is provably equivalent to the per-event window-function sessionizer:
+    same session starts and event counts, and ``session_end`` here is
+    the batch sessionizer's last event + ``gap`` (session_window pads
+    the close by the gap — that is its emission semantics)."""
+    wm = (
+        stream.withWatermark(ts_col, watermark_delay)
+        if stream.isStreaming
+        else stream
+    )
+    return (
+        wm.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
 def windowed_rollup(
     stream: DataFrame,
     window_size: str = "1 hour",

@@ -92,3 +92,84 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert by_win.get(0) == 1
     # hour-2 window holds both on-time events
     assert by_win.get(2) == 2
+
+
+def test_session_rollup_batch_equals_window_sessionizer(spark, tmp_path):
+    """The streaming session_window form and the per-event window-
+    function sessionizer agree on batch data: same session starts and
+    event counts; session_window's end = last event + gap."""
+    from multi_table_plugins_spark.operators.sessions import session_stats
+    from multi_table_plugins_spark.streaming.rollup import session_rollup
+
+    f = str(tmp_path / "f0.parquet")
+    # doc 'a': events at 0,10 | 70,75 (gap 30m -> two sessions); 'b': one
+    _write_feed_file(
+        f,
+        [
+            (1, "t0", "I", "a", 0),
+            (2, "t0", "I", "a", 10),
+            (3, "t0", "I", "a", 70),
+            (4, "t0", "I", "a", 75),
+            (5, "t0", "I", "b", 5),
+        ],
+    )
+    df = spark.read.parquet(f)
+    roll = {
+        (r["doc_id"], r["session_start"]): r
+        for r in session_rollup(df, gap="30 minutes", keys=("doc_id",)).collect()
+    }
+    stats = {
+        (r["doc_id"], r["session_start"]): r
+        for r in session_stats(
+            df, "doc_id", "ts", 1800, tiebreak=("lsn",)
+        ).collect()
+    }
+    assert set(roll) == set(stats)
+    from datetime import timedelta
+
+    for k, r in roll.items():
+        assert r["n_events"] == stats[k]["n_events"]
+        assert r["session_end"] == stats[k]["session_end"] + timedelta(minutes=30)
+
+
+def test_streaming_session_rollup_closes_on_watermark(spark, tmp_path):
+    from multi_table_plugins_spark.streaming.rollup import session_rollup
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    _write_feed_file(
+        os.path.join(feed, "f0.parquet"),
+        [(1, "t0", "I", "a", 0), (2, "t0", "I", "a", 10)],
+    )
+    stream = (
+        spark.readStream.schema(CHANGE_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    sess = session_rollup(stream, gap="30 minutes", watermark_delay="10 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past session-a's close (10+30m+10m)
+        _write_feed_file(
+            os.path.join(feed, "f1.parquet"), [(3, "t0", "I", "z", 600)]
+        )
+        q.processAllAvailable()
+        # a LATE event for the closed session must be dropped, and must
+        # NOT resurrect or extend the emitted session
+        _write_feed_file(
+            os.path.join(feed, "f2.parquet"), [(4, "t0", "I", "a", 15)]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from session_sink").collect()
+    a = [r for r in rows if r["doc_id"] == "a"]
+    assert len(a) == 1 and a[0]["n_events"] == 2
+    assert a[0]["session_start"].minute == 0 and a[0]["session_end"].minute == 40

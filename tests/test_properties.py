@@ -208,3 +208,44 @@ def test_scd2_reconstructs_lww_at_every_instant(spark, events):
         if ts <= probe_ts:
             want[k] = f"v{eid}"
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5_000),          # eid (unique)
+            st.integers(0, 100_000),        # ts seconds
+            st.integers(0, 4),              # user
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 3600),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sessionize_partitions_events_by_gap(spark, events, gap):
+    """For any event set and gap: sessions partition each user's events
+    contiguously in time order, intra-session gaps are <= gap, and
+    consecutive sessions are separated by > gap."""
+    from multi_table_plugins_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(eid, u, ts) for eid, ts, u in events], "eid long, ts long, user long"
+    ).select(
+        "eid", "user", F.timestamp_seconds(F.col("ts")).alias("ts")
+    )
+    got = sessionize(df, "user", "ts", gap, tiebreak=("eid",)).collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user"], []).append(r)
+    for u, rs in per_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["eid"]))
+        nums = [r["session_num"] for r in rs]
+        assert nums[0] == 1
+        for a, b in zip(rs, rs[1:]):
+            delta = (b["ts"] - a["ts"]).total_seconds()
+            if delta > gap:
+                assert b["session_num"] == a["session_num"] + 1
+            else:
+                assert b["session_num"] == a["session_num"]

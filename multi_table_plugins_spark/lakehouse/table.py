@@ -256,6 +256,25 @@ class LakeTable:
             int(n[len("manifest-") : -len(".json")]) for n in self._manifest_files()
         ]
 
+    def version_as_of(self, ts) -> int:
+        """Newest version committed at or before ``ts`` (epoch seconds or
+        a datetime) — timestamp-addressed time travel, like Iceberg's
+        ``TIMESTAMP AS OF``. Driver-side scan of the retained manifests
+        (bounded by the ``expire_snapshots`` retention)."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        best = None
+        for name in self._manifest_files():
+            m = self._load_manifest(name)
+            v = int(name[len("manifest-") : -len(".json")])
+            if m.get("ts", 0.0) <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise LookupError(
+                f"no snapshot of {self.path} existed at or before {ts}"
+            )
+        return best
+
     def _publish(self, manifest: dict) -> None:
         """Atomically publish ``manifest`` as the next version.
 
@@ -370,9 +389,19 @@ class LakeTable:
         agg = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(LSN_COL)).alias("_s")
         return df.groupBy(*keys).agg(agg).select(*keys, "_s.*")
 
-    def read(self, with_lsn: bool = False, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        with_lsn: bool = False,
+        version: int | None = None,
+        as_of=None,
+    ) -> DataFrame:
         """Live rows in the user schema (tombstones filtered); ``version``
-        time-travels to an older snapshot."""
+        time-travels to an older snapshot, ``as_of`` (epoch seconds or a
+        datetime) to the newest snapshot committed by that instant."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         df = self._scan(version=version)
         drop = [DELETED_COL] if with_lsn else list(BOOKKEEPING_COLS)
         return df.drop(*drop)

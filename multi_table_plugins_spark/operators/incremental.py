@@ -32,6 +32,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..lakehouse.fileio import get_fileio
 from .dedup import band_hash_frame, jaccard_distinct, minhash_signatures
 
 _BANDS_DIR = "bands"
@@ -52,11 +53,18 @@ def build_signature_index(
     band_hash: str = "md5",
     n_bh_buckets: int = 64,
     mode: str = "overwrite",
+    fileio=None,
 ) -> dict:
     """Compute MinHash signatures for ``docs`` and persist the banding
     index + shingle sets. ``mode="append"`` adds a new batch to an
     existing index (parameters must match — checked against
-    ``_index.json``). Returns the index metadata."""
+    ``_index.json``). Returns the index metadata.
+
+    All driver-side index IO (metadata read/write, partition-dir
+    existence probes) goes through the lakehouse FileIO seam so the
+    index works on object-store-shaped storage too (``fileio`` an
+    instance/name, default ``$MTP_FILEIO``)."""
+    io = get_fileio(fileio)
     meta = {
         "id_col": id_col,
         "num_hashes": num_hashes,
@@ -67,9 +75,8 @@ def build_signature_index(
         "n_bh_buckets": n_bh_buckets,
     }
     meta_path = os.path.join(index_path, _META)
-    if mode == "append" and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            existing = json.load(f)
+    if mode == "append" and io.exists(meta_path):
+        existing = json.loads(io.read_text(meta_path))
         if existing != meta:
             raise ValueError(
                 f"index at {index_path} was built with {existing}, "
@@ -93,9 +100,8 @@ def build_signature_index(
     sigs.select(id_col, "shingles").write.mode(mode).parquet(
         os.path.join(index_path, _SHINGLES_DIR)
     )
-    os.makedirs(index_path, exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    io.makedirs(index_path)
+    io.write_text(meta_path, json.dumps(meta))
     cached = getattr(raw_sigs, "_mtp_cached", None)
     if cached is not None:
         cached.unpersist()
@@ -103,15 +109,17 @@ def build_signature_index(
 
 
 def _matched_band_paths(
-    bands_root: str, buckets: list[int]
+    bands_root: str, buckets: list[int], io
 ) -> list[str]:
     """The partition directories the probe actually needs — explicit
     path selection (not a post-hoc filter) so 'reads only band-matched
-    data' is structural, and trivially true on object stores too."""
+    data' is structural. Existence probes go through the FileIO seam:
+    direct ``os.path.isdir`` would silently find ZERO partition dirs on
+    an object store and the probe would miss every indexed duplicate."""
     out = []
     for b in sorted(set(buckets)):
         p = os.path.join(bands_root, f"{_BUCKET}={b}")
-        if os.path.isdir(p):
+        if io.isdir(p):
             out.append(p)
     return out
 
@@ -122,6 +130,7 @@ def incremental_near_dup(
     index_path: str,
     text_col: str = "text",
     threshold: float = 0.7,
+    fileio=None,
 ) -> DataFrame:
     """Near-dup pairs ``(id_a < id_b, jaccard ≥ threshold)`` touching the
     new batch: new-vs-indexed-corpus plus new-vs-new, WITHOUT recomputing
@@ -131,8 +140,8 @@ def incremental_near_dup(
 
     Returns the pair frame; ``df._mtp_probe_paths`` carries the index
     partition directories actually read (tests assert the pruning)."""
-    with open(os.path.join(index_path, _META)) as f:
-        meta = json.load(f)
+    io = get_fileio(fileio)
+    meta = json.loads(io.read_text(os.path.join(index_path, _META)))
     id_col = meta["id_col"]
 
     raw_sigs = minhash_signatures(
@@ -154,7 +163,7 @@ def incremental_near_dup(
     # driver-side plan decision, not a data collect
     buckets = [r[0] for r in new_bands.select(_BUCKET).distinct().collect()]
     bands_root = os.path.join(index_path, _BANDS_DIR)
-    paths = _matched_band_paths(bands_root, buckets)
+    paths = _matched_band_paths(bands_root, buckets, io)
 
     if paths:
         idx_bands = spark.read.option("basePath", bands_root).parquet(*paths)

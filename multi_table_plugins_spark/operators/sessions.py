@@ -54,11 +54,20 @@ def session_stats(
     hash aggregation over :func:`sessionize`'s output."""
     s = sessionize(df, user_col, ts_col, gap_seconds, tiebreak)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # duration to 4 decimals via INTEGER arithmetic: floor((µs+50)/100)
+    # is exact on BIGINT, and dividing the same integer by 1e4 yields a
+    # bit-identical double in any engine. A naive round(µs/1e6, 4) hits
+    # decimal-vs-binary halfway divergence whenever µs % 100 == 50
+    # (Spark HALF_UPs the shortest decimal, DuckDB rounds the binary
+    # double — they disagree on those cells).
+    dur_us = F.max(us) - F.min(us)
     aggs = [
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        F.round((F.max(us) - F.min(us)) / 1_000_000.0, 4).alias("duration_secs"),
+        (F.floor((dur_us + F.lit(50)) / F.lit(100)) / F.lit(10000.0)).alias(
+            "duration_secs"
+        ),
     ]
     for name, expr in (agg_cols or {}).items():
         aggs.append(expr.alias(name))

@@ -173,13 +173,10 @@ def apply_cdc_batch(
     if history_tables:
         from ..errors import invalid_condition as _invalid
 
-        main = apply_cdc_batch(
-            spark, batch_df, warehouse, epoch, app_id, error_mode,
-            allow_tables, block_tables, n_buckets, table_mode,
-            compact_threshold, minor_compact_threshold,
-            max_parallel_tables, validate, fast_path, batch_dedup,
-            lineage, io, key_col, history_tables=False,
-        )
+        # refuse a clashing feed BEFORE any table commits: checking
+        # after the main apply would permanently commit current-state
+        # epochs (the ledger then skips them on replay) while capturing
+        # no history for that epoch — a silent half-applied batch
         clash = {"change_op", "lsn_key", "event_ts"} & set(batch_df.columns)
         if clash:
             # withColumn would silently overwrite a user payload column
@@ -188,6 +185,13 @@ def apply_cdc_batch(
                 f"history_tables=True reserves column name(s) {sorted(clash)} "
                 "for the version log; rename the payload column(s)"
             )
+        main = apply_cdc_batch(
+            spark, batch_df, warehouse, epoch, app_id, error_mode,
+            allow_tables, block_tables, n_buckets, table_mode,
+            compact_threshold, minor_compact_threshold,
+            max_parallel_tables, validate, fast_path, batch_dedup,
+            lineage, io, key_col, history_tables=False,
+        )
         src = batch_df.filter(~_invalid()) if validate else batch_df
         if allow_tables:
             src = src.filter(F.col("table_name").isin(*allow_tables))

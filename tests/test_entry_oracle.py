@@ -37,7 +37,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # %.10g, NOT %.6g: the driver's hash caught a 4th-decimal
+        # disagreement on a value >= 1000 that six *significant* digits
+        # normalized away (round-3 sessionization finding). Keep the
+        # local gate at least as strict as the driver's.
+        return f"{v:.10g}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, (list, tuple)):

@@ -90,12 +90,25 @@ def test_history_respects_allow_block_lists(spark, tmp_path):
 def test_history_refuses_reserved_payload_columns(spark, tmp_path):
     import pytest
 
+    wh = str(tmp_path / "wh")
     bad = _feed(spark, ROWS0).withColumn("change_op", F.lit("user-data"))
     with pytest.raises(ValueError, match="reserves column"):
         apply_cdc_batch(
-            spark, bad, str(tmp_path / "wh"), epoch=0, app_id="h",
+            spark, bad, wh, epoch=0, app_id="h",
             n_buckets=4, history_tables=True,
         )
+    # the refusal must land BEFORE any commit: a post-commit check would
+    # permanently ledger the current-state epoch with no history captured
+    # (replay then skips main), leaving a half-applied batch on disk
+    assert not any(
+        os.path.isdir(os.path.join(wh, t)) for t in ("ta", "tb")
+    ), "clashing feed must not commit current-state tables"
+    # and the epoch stays replayable end-to-end once the feed is fixed
+    r = apply_cdc_batch(
+        spark, _feed(spark, ROWS0), wh, epoch=0, app_id="h",
+        n_buckets=4, history_tables=True,
+    )
+    assert not any(m.get("skipped") for m in r["tables"].values())
 
 
 def test_history_never_captures_suffix_named_tables(spark, tmp_path):

@@ -105,3 +105,58 @@ def test_append_rejects_mismatched_family(spark, docs, tmp_path):
     bad = dict(PARAMS, num_bands=8)
     with pytest.raises(ValueError, match="hash families must match"):
         build_signature_index(old, idx, n_bh_buckets=32, mode="append", **bad)
+
+
+class _SpyFileIO:
+    """Wraps a FileIO and records which primitives the index touched —
+    proves the probe's partition-dir resolution goes through the seam
+    (a direct os.path.isdir would leave ``isdir_paths`` empty)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.isdir_paths = []
+        self.read_text_paths = []
+        self.write_text_paths = []
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def isdir(self, path):
+        self.isdir_paths.append(path)
+        return self._inner.isdir(path)
+
+    def read_text(self, path):
+        self.read_text_paths.append(path)
+        return self._inner.read_text(path)
+
+    def write_text(self, path, data):
+        self.write_text_paths.append(path)
+        return self._inner.write_text(path, data)
+
+
+def test_index_io_routes_through_fileio_seam(spark, docs, tmp_path):
+    """Build + probe with an explicit (spied) GenericFileIO: metadata
+    writes/reads and every partition-dir existence probe must resolve
+    via the seam, and the probe's answer must match the default-backend
+    answer — the object-store-readiness ask of VERDICT r3 (#4)."""
+    from multi_table_plugins_spark.lakehouse.fileio import GenericFileIO
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    io = _SpyFileIO(GenericFileIO())
+    build_signature_index(old, idx, n_bh_buckets=32, fileio=io, **PARAMS)
+    assert io.write_text_paths == [os.path.join(idx, "_index.json")]
+
+    pairs = incremental_near_dup(
+        spark, new, idx, threshold=THRESHOLD, fileio=io
+    )
+    got = _probe_set(pairs)
+    # every matched probe path was resolved through the seam, and the
+    # matched set is exactly the seam-confirmed directories
+    assert io.read_text_paths and io.isdir_paths
+    seam_dirs = {p for p in io.isdir_paths if f"/{_BUCKET}=" in p}
+    assert set(pairs._mtp_probe_paths) <= seam_dirs
+    assert got == _full_pairs_touching_new(docs)
+    for c in pairs._mtp_cached:
+        c.unpersist()

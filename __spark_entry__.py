@@ -644,7 +644,7 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
-def _o_lang_id() -> str:
+def _o_lang_pred_expr() -> str:
     # mirror the fixed-order strictly-greater argmax cascade
     langs = list(LANG_STOPWORDS)
     hits = {l: _lang_hits_sql(l) for l in langs}
@@ -653,7 +653,59 @@ def _o_lang_id() -> str:
         cond = f"({hits[l]}) > ({best_n})"
         best = f"CASE WHEN {cond} THEN '{l}' ELSE {best} END"
         best_n = f"CASE WHEN {cond} THEN ({hits[l]}) ELSE ({best_n}) END"
-    return f"SELECT doc_id, {best} AS lang_pred FROM documents"
+    return best
+
+
+def _o_lang_id() -> str:
+    return f"SELECT doc_id, {_o_lang_pred_expr()} AS lang_pred FROM documents"
+
+
+def q_text_metrics(spark, sf_dir):
+    """Text-analysis battery in ONE pass over ``documents``: language-id,
+    composite quality score, token count + mean token length, and the
+    content fingerprint — the four per-doc metrics every curation
+    pipeline computes together, so computing them in one projection on a
+    shared scan is both the realistic usage AND the consolidation that
+    keeps the registry inside the driver's 50-entry budget (the four
+    single-metric queries remain as functions; this battery carries
+    their driver-oracle coverage)."""
+    docs = _r(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text", "n_chars").alias("quality"),
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.greatest(token_count("text"), F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _o_text_metrics() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CAST(n_chars AS DOUBLE) AS nc,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       {_o_lang_pred_expr()} AS lang_pred,
+       ROUND(
+         (CASE WHEN nc >= 100 AND nc <= 20000 THEN 1.0 ELSE 0.5 END) * 0.4
+         + (CASE WHEN nc > 0 THEN n_alpha / nc ELSE 0.0 END) * 0.4
+         + (CASE WHEN (CASE WHEN n_words > 0 THEN nc / n_words ELSE 0.0 END) >= 3
+                 AND (CASE WHEN n_words > 0 THEN nc / n_words ELSE 0.0 END) <= 12
+            THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality,
+       CAST(n_words AS BIGINT) AS n_tokens,
+       ROUND(nc / GREATEST(n_words, 1), 4) AS mean_token_len,
+       {FP_SQL} AS fingerprint
+FROM s
+"""
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1488,14 +1540,12 @@ FROM events
 """
 
 
-def _cdc_time_travel(spark, sf_dir, by: str):
-    """Time travel, oracle-checked: replay the derived feed in two
-    epochs, then read every table AS OF the snapshot committed by epoch
-    0 — addressed by ``version`` (``LakeTable.read(version=...)``) or by
-    ``timestamp`` (``read(as_of=...)`` resolving via ``version_as_of``).
-    The oracle recomputes LWW over only the first epoch's events (lsn
-    below the midpoint — the same deterministic cut on both sides)."""
-    from multi_table_plugins_spark.lakehouse import LakeTable
+def _derived_two_epoch_replay(spark, sf_dir, prefix: str):
+    """Shared setup for the time-travel / change-feed oracles: derive a
+    deterministic CDC feed from ``events``, split it at the integer lsn
+    midpoint (the same cut the SQL oracles make), replay epoch 0, and
+    return ``(wh, replay_epoch1, mid)`` where ``replay_epoch1()`` applies
+    the second half."""
     from multi_table_plugins_spark.streaming import replay_feed_batches
 
     ev = _r(spark, sf_dir, "events")
@@ -1525,7 +1575,7 @@ def _cdc_time_travel(spark, sf_dir, by: str):
     import atexit
     import shutil
 
-    work = tempfile.mkdtemp(prefix="mtp_timetravel_")
+    work = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     b1 = os.path.join(work, "b1")
     b2 = os.path.join(work, "b2")
@@ -1539,13 +1589,32 @@ def _cdc_time_travel(spark, sf_dir, by: str):
         )
 
     replay_feed_batches(spark, files(b1), wh, files_per_batch=1, n_buckets=8)
+
+    def replay_epoch1():
+        replay_feed_batches(
+            spark, files(b2), wh, files_per_batch=1, n_buckets=8, start_epoch=1
+        )
+
+    return wh, replay_epoch1, mid
+
+
+def _cdc_time_travel(spark, sf_dir, by: str):
+    """Time travel, oracle-checked: replay the derived feed in two
+    epochs, then read every table AS OF the snapshot committed by epoch
+    0 — addressed by ``version`` (``LakeTable.read(version=...)``) or by
+    ``timestamp`` (``read(as_of=...)`` resolving via ``version_as_of``).
+    The oracle recomputes LWW over only the first epoch's events (lsn
+    below the midpoint — the same deterministic cut on both sides)."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+
+    wh, replay_epoch1, _mid = _derived_two_epoch_replay(
+        spark, sf_dir, "mtp_timetravel_"
+    )
     epoch0 = {
         f"t{i}": LakeTable(spark, os.path.join(wh, f"t{i}")).manifest()
         for i in range(4)
     }
-    replay_feed_batches(
-        spark, files(b2), wh, files_per_batch=1, n_buckets=8, start_epoch=1
-    )
+    replay_epoch1()
     out = None
     for i in range(4):
         t = f"t{i}"
@@ -1579,6 +1648,96 @@ def q_cdc_time_travel(spark, sf_dir):
 
 def q_cdc_time_travel_ts(spark, sf_dir):
     return _cdc_time_travel(spark, sf_dir, by="timestamp")
+
+
+def q_cdc_changes_feed(spark, sf_dir):
+    """Change data feed (CDC OUT), oracle-checked: replay the derived
+    feed in two epochs, then ask every table for
+    ``table_changes(v_epoch0)`` — the net insert/update/delete rows a
+    downstream copy must apply to go from the epoch-0 snapshot to the
+    current one. The engine reads ONLY the epoch-1 delta files plus the
+    touched buckets of the epoch-0 snapshot (per-version manifest diff —
+    see lakehouse/table.py:table_changes); the oracle recomputes the
+    state diff from the raw events with the same integer lsn-midpoint
+    cut. Deletes carry the last live payload and the tombstone's lsn."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+
+    wh, replay_epoch1, _mid = _derived_two_epoch_replay(
+        spark, sf_dir, "mtp_cdf_"
+    )
+    v0 = {
+        f"t{i}": LakeTable(spark, os.path.join(wh, f"t{i}")).manifest()["version"]
+        for i in range(4)
+    }
+    replay_epoch1()
+    out = None
+    for i in range(4):
+        t = f"t{i}"
+        df = (
+            LakeTable(spark, os.path.join(wh, t))
+            .table_changes(v0[t])
+            .withColumn("table_name", F.lit(t))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "table_name",
+        "doc_id",
+        "change_type",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+        "change_lsn",
+    )
+
+
+O_CDC_CHANGES_FEED = """
+WITH c AS (
+  SELECT event_id % 997 AS k,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS source,
+         CAST(event_id % 37 + 1 AS INT) AS n,
+         CAST(event_id % 100 AS BIGINT) AS st
+  FROM events
+), mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m FROM events),
+w0 AS (  -- epoch-0 winner per key (may be a tombstone)
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+    FROM c, mid WHERE lsn < mid.m
+  ) WHERE rn = 1
+),
+w1 AS (  -- overall winner per key
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT w1.k,
+         CASE
+           WHEN (w0.k IS NULL OR w0.op = 'D') AND w1.op <> 'D' THEN 'insert'
+           WHEN w0.op <> 'D' AND w1.op <> 'D'
+                AND w1.lsn <> w0.lsn THEN 'update'
+           WHEN w0.op <> 'D' AND w1.op = 'D' THEN 'delete'
+         END AS change_type,
+         CASE WHEN w1.op = 'D' THEN w0.n ELSE w1.n END AS n,
+         CASE WHEN w1.op = 'D' THEN w0.st ELSE w1.st END AS st,
+         CASE WHEN w1.op = 'D' THEN w0.source ELSE w1.source END AS source,
+         w1.lsn AS change_lsn
+  FROM w1 LEFT JOIN w0 ON w1.k = w0.k
+)
+SELECT 't' || CAST(k % 4 AS VARCHAR) AS table_name,
+       'd' || CAST(k AS VARCHAR) AS doc_id,
+       change_type,
+       n AS n_tok,
+       source,
+       CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) AS tok_sum,
+       change_lsn
+FROM d
+WHERE change_type IS NOT NULL
+"""
 
 
 O_CDC_TIME_TRAVEL = """
@@ -2194,9 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_union_evolution": q_schema_union_evolution,
         "error_channel": q_error_channel,
         "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "token_count_quality": q_token_count_quality,
-        "lang_id": q_lang_id,
+        "text_metrics": q_text_metrics,
         "ann_cosine_topk": q_ann_cosine_topk,
         "sql_statement_join": q_sql_statement_join,
         "set_ops": q_set_ops,
@@ -2208,7 +2365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": q_jaccard_near_dup,
         "incremental_near_dup": q_incremental_near_dup,
         "simhash_signatures": q_simhash_signatures,
-        "quality_score": q_quality_score,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -2217,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_clusters": q_dedup_exact_clusters,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_time_travel_ts": q_cdc_time_travel_ts,
+        "cdc_changes_feed": q_cdc_changes_feed,
         "multi_sink_roundtrip": q_multi_sink_roundtrip,
         "schema_probe": q_schema_probe,
         "csv_bytes_policy": q_csv_bytes_policy,
@@ -2249,9 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_union_evolution": O_SCHEMA_UNION,
         "error_channel": O_ERROR_CHANNEL,
         "dedup_exact": O_DEDUP_EXACT,
-        "doc_fingerprint": O_DOC_FINGERPRINT,
-        "token_count_quality": O_TOKEN_COUNT,
-        "lang_id": _o_lang_id(),
+        "text_metrics": _o_text_metrics(),
         "ann_cosine_topk": O_ANN_TOPK,
         "sql_statement_join": O_SQL_STATEMENT,
         "set_ops": O_SET_OPS,
@@ -2268,10 +2423,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": O_IVF_ANN_TOPK,
         "dedup_exact_clusters": _o_dedup_exact_clusters(),
         "simhash_signatures": _o_simhash_signatures(),
-        "quality_score": O_QUALITY_SCORE,
         "embedding_near_dup": _o_embedding_near_dup(),
         "cdc_time_travel": O_CDC_TIME_TRAVEL,
         "cdc_time_travel_ts": O_CDC_TIME_TRAVEL,
+        "cdc_changes_feed": O_CDC_CHANGES_FEED,
         "multi_sink_roundtrip": O_MULTI_SINK_ROUNDTRIP,
         "schema_probe": O_SCHEMA_PROBE,
         "csv_bytes_policy": O_CSV_BYTES_POLICY,

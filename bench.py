@@ -72,9 +72,7 @@ HEADLINE = (
     "hourly_rollup",
     "dedup_exact",
     "dedup_exact_clusters",
-    "doc_fingerprint",
-    "token_count_quality",
-    "quality_score",
+    "text_metrics",
     "simhash_signatures",
     "ann_cosine_topk",
     "minhash_near_dup",

@@ -50,7 +50,8 @@ def is_safe_table_name(name: str) -> bool:
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
 from .fileio import FileIO, get_fileio
-from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform, _footer_rows
+from ..schemas import LSN_COL
+from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform, _footer_meta
 
 _BUCKET_COL = "_bucket"
 _TABLE_COL = "_table"
@@ -201,16 +202,19 @@ def merge_many(
                 rel = os.path.join(dest_rel, bdir, fn)
                 dst = os.path.join(tpath, rel)
                 io.add_file(src, dst)
-                rows = _footer_rows(dst, io)
+                # same single footer read as the slow path: row count +
+                # key/_lsn min/max so fast-path files are file-skippable
+                rows, stats = _footer_meta(dst, key_cols + [LSN_COL], io)
                 total_rows += rows
-                entries.setdefault(bucket, []).append(
-                    {
-                        "path": rel,
-                        "sv": 0,  # set by commit_delta
-                        "bytes": io.getsize(dst),
-                        "rows": rows,
-                    }
-                )
+                entry = {
+                    "path": rel,
+                    "sv": 0,  # set by commit_delta
+                    "bytes": io.getsize(dst),
+                    "rows": rows,
+                }
+                if stats:
+                    entry["stats"] = stats
+                entries.setdefault(bucket, []).append(entry)
         t0 = time.time()
         m = lt.commit_delta(entries, payload_schema, app_id, epoch)
         m["commit_ms"] = round((time.time() - t0) * 1000, 1)

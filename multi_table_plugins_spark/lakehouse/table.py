@@ -90,6 +90,109 @@ def _footer_rows(path: str, io: FileIO | None = None) -> int:
         return pq.ParquetFile(f).metadata.num_rows
 
 
+# string min/max longer than this are dropped from file stats (Iceberg
+# truncates instead; dropping is simpler and merely disables skipping
+# for that file — never wrong)
+_STATS_MAX_STR = 256
+
+
+def _stat_value(v):
+    """Normalize a parquet-footer statistics value to a JSON-safe,
+    totally-ordered representation: timestamps → epoch µs int, dates →
+    ordinal int (isoformat strings would compare wrong across mixed
+    sub-second precision), numerics/strings pass through, everything
+    else → None (not stat-able)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.toordinal()
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode()
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    return None
+
+
+def _footer_meta(
+    path: str, stat_cols: "list[str]", io: FileIO | None = None
+) -> "tuple[int, dict]":
+    """(num_rows, {col: [min, max]}) from ONE parquet footer read.
+
+    Stats are aggregated across row groups and recorded only when every
+    row group has complete min/max for the column (a single stats-less
+    row group makes the file bound unknowable → no entry → never
+    pruned). Driver-side metadata only — the per-file cost that makes
+    manifest-level file skipping free at read time."""
+    import pyarrow.parquet as pq
+
+    def _meta(fobj):
+        md = pq.ParquetFile(fobj).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for col in stat_cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+                if mn is None or mx is None or type(mn) is not type(mx):
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                stats[col] = [lo, hi]
+        return md.num_rows, stats
+
+    if io is None:
+        return _meta(path)
+    with io.open_input(path) as f:
+        return _meta(f)
+
+
+def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
+    """Can this file entry possibly contain a row satisfying every
+    predicate? ``preds`` are (col, op, normalized_value); a file with no
+    stats for a predicate's column is conservatively kept."""
+    stats = entry.get("stats") or {}
+    for col, op, v in preds:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if isinstance(v, (int, float)) != isinstance(lo, (int, float)):
+            continue  # incomparable type — never prune on it
+        if op == "=" and not (lo <= v <= hi):
+            return False
+        if op == "<" and not (lo < v):
+            return False
+        if op == "<=" and not (lo <= v):
+            return False
+        if op == ">" and not (hi > v):
+            return False
+        if op == ">=" and not (hi >= v):
+            return False
+    return True
+
+
 def _conform(df: DataFrame, schema: StructType) -> DataFrame:
     """Project/cast ``df`` to exactly ``schema`` (missing cols → NULL)."""
     cols = []
@@ -350,20 +453,59 @@ class LakeTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    _OPS = ("=", "<", "<=", ">", ">=")
+
     def _scan(
-        self, include_tombstones: bool = False, version: int | None = None
+        self,
+        include_tombstones: bool = False,
+        version: int | None = None,
+        where: "list[tuple] | None" = None,
     ) -> DataFrame:
         """Table state incl. bookkeeping cols (LWW-resolved); pass
-        ``version`` for a time-travel read of an older snapshot."""
+        ``version`` for a time-travel read of an older snapshot.
+
+        ``where`` — list of ``(col, op, value)`` predicates (op in
+        ``=, <, <=, >, >=``, AND-combined). Predicates on KEY columns
+        additionally prune file entries by their manifest min/max stats
+        before any Spark job is planned (files whose key range cannot
+        intersect never reach the scan). Non-key predicates filter rows
+        but never prune files: a pre-LWW file holds arbitrary VERSIONS
+        of its keys, so dropping one by a payload bound could change
+        which version wins. ``self.last_scan_info`` records
+        files_total/files_read for observability and tests."""
         m = self.manifest(version)
         target = self._internal_schema(
             schema_from_json(m["schemas"][str(m["current_schema_version"])])
         )
+        prune_preds = []
+        if where:
+            keys = set(self.key_cols)
+            for col, op, v in where:
+                if op not in self._OPS:
+                    raise ValueError(
+                        f"unsupported predicate op {op!r}; expected one "
+                        f"of {self._OPS}"
+                    )
+                nv = _stat_value(v)
+                if col in keys and nv is not None:
+                    prune_preds.append((col, op, nv))
         base_entries: list[dict] = []
         delta_entries: list[dict] = []
         for b in m["buckets"].values():
             base_entries.extend(b.get("base", []))
             delta_entries.extend(b.get("delta", []))
+        n_total = len(base_entries) + len(delta_entries)
+        if prune_preds:
+            base_entries = [
+                e for e in base_entries if _entry_matches(e, prune_preds)
+            ]
+            delta_entries = [
+                e for e in delta_entries if _entry_matches(e, prune_preds)
+            ]
+        self.last_scan_info = {
+            "files_total": n_total,
+            "files_read": len(base_entries) + len(delta_entries),
+        }
         base = self._read_files(base_entries, target, m)
         delta = self._read_files(delta_entries, target, m)
         if base is None and delta is None:
@@ -375,6 +517,21 @@ class LakeTable:
             df = self._lww_resolve(both, target)
         if not include_tombstones:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if where:
+            # row-level filter for EVERY predicate (post-LWW, so
+            # semantics are exactly read().filter(...)); file pruning
+            # above was only ever an IO reduction, never the filter
+            for col, op, v in where:
+                c = F.col(col)
+                df = df.filter(
+                    {
+                        "=": c == F.lit(v),
+                        "<": c < F.lit(v),
+                        "<=": c <= F.lit(v),
+                        ">": c > F.lit(v),
+                        ">=": c >= F.lit(v),
+                    }[op]
+                )
         return df
 
     def _lww_resolve(self, df: DataFrame, target: StructType) -> DataFrame:
@@ -394,17 +551,172 @@ class LakeTable:
         with_lsn: bool = False,
         version: int | None = None,
         as_of=None,
+        where: "list[tuple] | None" = None,
     ) -> DataFrame:
         """Live rows in the user schema (tombstones filtered); ``version``
         time-travels to an older snapshot, ``as_of`` (epoch seconds or a
-        datetime) to the newest snapshot committed by that instant."""
+        datetime) to the newest snapshot committed by that instant.
+
+        ``where=[(col, op, value), ...]`` (op in ``=, <, <=, >, >=``,
+        AND-combined) filters rows AND — for key-column predicates —
+        prunes file entries by the manifest's per-file min/max stats
+        before planning, so a key-range scan of a 100 TB table reads
+        only the files whose key interval intersects the predicate
+        (``last_scan_info`` reports files_total vs files_read)."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of, not both")
             version = self.version_as_of(as_of)
-        df = self._scan(version=version)
+        df = self._scan(version=version, where=where)
         drop = [DELETED_COL] if with_lsn else list(BOOKKEEPING_COLS)
         return df.drop(*drop)
+
+    def table_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed: the NET per-key changes between snapshot
+        ``v_from`` and ``v_to`` (default: current) — CDC *out* of the
+        lakehouse, the Iceberg incremental-read / Delta CDF analog.
+
+        Returns one row per net-changed key: key column(s) +
+        ``change_type`` (``insert`` / ``update`` / ``delete``) + payload
+        columns (the new values; for deletes, the last live values) +
+        ``change_lsn`` (the winning change's LSN). A key whose range
+        changes all lose LWW to the ``v_from`` state (a late, lower-LSN
+        replay) or that goes dead→dead produces NO row — the feed is
+        exactly "what a downstream copy must apply to get from v_from's
+        state to v_to's".
+
+        Scale shape — never O(table): the changed rows come from ONLY
+        the delta files added by commits in ``(v_from, v_to]``
+        (per-version manifest diff; compaction/vacuum versions add no
+        delta and contribute nothing), and the old-state join reads ONLY
+        the buckets those deltas touched. ``df._mtp_cdf_info`` reports
+        buckets/files actually read (tests assert the pruning). Range
+        must lie within snapshot retention (``expire_snapshots``) — the
+        standard incremental-read constraint.
+        """
+        cur = self.manifest()["version"]
+        if v_to is None:
+            v_to = cur
+        if not (0 <= v_from <= v_to <= cur):
+            raise ValueError(
+                f"invalid change range [{v_from}, {v_to}] for table at "
+                f"version {cur}"
+            )
+        m_to = self.manifest(v_to)
+        target = self._internal_schema(
+            schema_from_json(m_to["schemas"][str(m_to["current_schema_version"])])
+        )
+        keys = self.key_cols
+        payload = [
+            f.name
+            for f in target.fields
+            if f.name not in keys and f.name not in (LSN_COL, DELETED_COL)
+        ]
+        # per-version manifest diff: delta entries whose path is new in v
+        added: list[dict] = []
+        touched: set[str] = set()
+        prev_paths: "set[str] | None" = None
+        for v in range(v_from, v_to + 1):
+            m_v = self.manifest(v)
+            paths_v = {}
+            for bucket, b in m_v["buckets"].items():
+                for e in b.get("delta", []):
+                    paths_v[e["path"]] = (bucket, e)
+            if prev_paths is not None:
+                for p, (bucket, e) in paths_v.items():
+                    if p not in prev_paths:
+                        added.append(e)
+                        touched.add(bucket)
+            prev_paths = set(paths_v)
+
+        out_fields = StructType(
+            [f for f in target.fields if f.name in keys]
+        ).add("change_type", "string", False)
+        for f in target.fields:
+            if f.name in payload:
+                out_fields = out_fields.add(f.name, f.dataType, True)
+        out_fields = out_fields.add("change_lsn", LongType(), False)
+        empty = self.spark.createDataFrame([], out_fields)
+        if not added:
+            empty._mtp_cdf_info = {
+                "delta_files_read": 0,
+                "buckets_read": 0,
+                "buckets_total": len(self.manifest(v_from)["buckets"]),
+            }
+            return empty
+
+        # net candidate per key over the range's deltas (LWW within range)
+        cand = self._lww_resolve(self._read_files(added, target, m_to), target)
+        c = cand.select(
+            *keys,
+            *[F.col(p).alias(f"_c_{p}") for p in payload],
+            F.col(LSN_COL).alias("_c_lsn"),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_c_del"),
+        )
+
+        # old state, ONLY the touched buckets, tombstones included (a key
+        # deleted before v_from then re-inserted in range is an insert)
+        m_from = self.manifest(v_from)
+        old_entries = [
+            e
+            for bucket in touched
+            for part in ("base", "delta")
+            for e in m_from["buckets"].get(bucket, {}).get(part, [])
+        ]
+        old_df = self._read_files(old_entries, target, m_from)
+        if old_df is None:
+            old = None
+        else:
+            old = self._lww_resolve(old_df, target).select(
+                *keys,
+                *[F.col(p).alias(f"_o_{p}") for p in payload],
+                F.col(LSN_COL).alias("_o_lsn"),
+                F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_o_del"),
+            )
+
+        if old is None:
+            j = c
+            for p in payload:
+                j = j.withColumn(f"_o_{p}", F.lit(None).cast(target[p].dataType))
+            j = j.withColumn("_o_lsn", F.lit(None).cast("long")).withColumn(
+                "_o_del", F.lit(False)
+            )
+        else:
+            j = c.join(old, on=keys, how="left")
+
+        final_is_c = F.col("_o_lsn").isNull() | (
+            F.col("_c_lsn") > F.col("_o_lsn")
+        )
+        old_live = F.col("_o_lsn").isNotNull() & ~F.col("_o_del")
+        new_live = ~F.col("_c_del")
+        change_type = (
+            F.when(old_live & new_live, F.lit("update"))
+            .when(old_live & ~new_live, F.lit("delete"))
+            .when(~old_live & new_live, F.lit("insert"))
+            .otherwise(F.lit(None))  # dead -> dead: no net change
+        )
+        out = (
+            j.filter(final_is_c)
+            .withColumn("change_type", change_type)
+            .filter(F.col("change_type").isNotNull())
+        )
+        cols = [F.col(k) for k in keys] + [F.col("change_type")]
+        for p in payload:
+            cols.append(
+                F.when(
+                    F.col("change_type") == "delete", F.col(f"_o_{p}")
+                )
+                .otherwise(F.col(f"_c_{p}"))
+                .alias(p)
+            )
+        cols.append(F.col("_c_lsn").alias("change_lsn"))
+        res = out.select(*cols)
+        res._mtp_cdf_info = {
+            "delta_files_read": len(added),
+            "buckets_read": len(touched),
+            "buckets_total": len(m_from["buckets"]) or len(m_to["buckets"]),
+        }
+        return res
 
     def lookup(self, key_value) -> DataFrame:
         """Point read of one key (a scalar, or a tuple/list for compound
@@ -444,6 +756,21 @@ class LakeTable:
         target = self._internal_schema(schema)
         b = m["buckets"].get(bucket, {})
         entries = list(b.get("base", [])) + list(b.get("delta", []))
+        # second pruning stage: within the bucket, skip files whose
+        # key-column min/max cannot contain this key (a hot bucket with
+        # many delta files reads only the few that overlap)
+        preds = [
+            (k, "=", nv)
+            for k, v in zip(keys, values)
+            if (nv := _stat_value(v)) is not None
+        ]
+        n_total = len(entries)
+        if preds:
+            entries = [e for e in entries if _entry_matches(e, preds)]
+        self.last_scan_info = {
+            "files_total": n_total,
+            "files_read": len(entries),
+        }
         if not entries:
             return self.spark.createDataFrame([], schema)
         df = self._read_files(entries, target, m)
@@ -623,17 +950,22 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(out, bdir, fn)
-                entries.setdefault(bucket, []).append(
-                    {
-                        "path": os.path.join(rel, bdir, fn),
-                        "sv": sv,
-                        "bytes": self.io.getsize(full),
-                        # footer-read row count: lets metrics (vacuumed
-                        # rows, rows_applied) come from the manifest
-                        # instead of extra counting jobs
-                        "rows": _footer_rows(full, self.io),
-                    }
+                # one footer read per file: row count for metrics +
+                # key-column min/max for manifest-level file skipping
+                # (read-time pruning is then pure driver-side interval
+                # math — the Iceberg data-skipping shape)
+                rows, stats = _footer_meta(
+                    full, self.key_cols + [LSN_COL], self.io
                 )
+                entry = {
+                    "path": os.path.join(rel, bdir, fn),
+                    "sv": sv,
+                    "bytes": self.io.getsize(full),
+                    "rows": rows,
+                }
+                if stats:
+                    entry["stats"] = stats
+                entries.setdefault(bucket, []).append(entry)
         return entries
 
     def _bucket_expr(self):

@@ -5,3 +5,8 @@ from .cdc_pipeline import (  # noqa: F401
     replay_feed_batches,
     run_cdc_stream,
 )
+from .cdf_source import (  # noqa: F401
+    CHANGE_OP_COL,
+    COMMIT_VERSION_COL,
+    LakeCDFDataSource,
+)

@@ -1,0 +1,261 @@
+"""Streaming CDF source (``format("lake_cdf")``): readStream over a
+LakeTable's manifest log via the Python Data Source API. Offsets are
+table versions (checkpoint-resumable), micro-batch partitions are the
+delta files added in the version range, executors read with pyarrow.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from multi_table_plugins_spark.lakehouse import LakeTable
+from multi_table_plugins_spark.streaming import LakeCDFDataSource
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("source", StringType(), True),
+    ]
+)
+CH = StructType(
+    [
+        StructField("lsn", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakeCDFDataSource)
+
+
+def _apply(spark, t, rows, epoch):
+    t.merge_into(spark.createDataFrame(rows, CH), app_id="cdf", epoch=epoch)
+
+
+def _run_available(spark, table_path, sink_name, ckpt, starting=None):
+    r = spark.readStream.format("lake_cdf").option("path", table_path)
+    if starting is not None:
+        r = r.option("startingVersion", starting)
+    q = (
+        r.load()
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_cdf_stream_reads_all_changes_from_version_zero(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=4)
+    _apply(spark, t, [(i, "I", i, [i], "s") for i in range(30)], 0)
+    _apply(
+        spark,
+        t,
+        [(100, "U", 3, [33], "s2"), (101, "D", 7, None, None)],
+        1,
+    )
+    _run_available(
+        spark, p, "cdf_all", str(tmp_path / "ck1"), starting=0
+    )
+    rows = spark.sql("SELECT * FROM cdf_all").collect()
+    assert len(rows) == 32  # every change event, raw feed
+    by_lsn = {r["_lsn"]: r for r in rows}
+    assert by_lsn[100]["_change_op"] == "U" and by_lsn[100]["tokens"] == [33]
+    assert by_lsn[101]["_change_op"] == "D" and by_lsn[101]["doc_id"] == 7
+    # commit versions are the manifest versions that added each file
+    assert by_lsn[0]["_commit_version"] < by_lsn[100]["_commit_version"]
+    # LWW over the raw feed reproduces the table's live state
+    net = (
+        spark.sql("SELECT * FROM cdf_all")
+        .groupBy("doc_id")
+        .agg(F.max_by(F.struct("_change_op", "tokens"), "_lsn").alias("w"))
+        .filter(F.col("w._change_op") != "D")
+    )
+    assert net.count() == t.read().count() == 29
+
+
+def _run_to_parquet(spark, table_path, out_dir, ckpt, starting=None):
+    """File-sink variant: the memory sink cannot recover from a
+    checkpoint, so resume semantics are proven against parquet."""
+    r = spark.readStream.format("lake_cdf").option("path", table_path)
+    if starting is not None:
+        r = r.option("startingVersion", starting)
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_cdf_stream_default_start_is_now(spark, tmp_path):
+    p = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck2")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(i, "I", i, [i], "s") for i in range(10)], 0)
+    # no startingVersion: only changes AFTER stream creation are seen
+    _run_to_parquet(spark, p, out, ck)
+    assert spark.read.parquet(out).count() == 0
+    _apply(spark, t, [(50, "U", 1, [11], "s")], 1)
+    _run_to_parquet(spark, p, out, ck)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["_lsn"] == 50
+
+
+def test_cdf_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(1, "I", 1, [1], "s")], 0)
+    _run_to_parquet(spark, p, out, ck, starting=0)
+    assert spark.read.parquet(out).count() == 1
+    _apply(spark, t, [(2, "I", 2, [2], "s")], 1)
+    # resume from the SAME checkpoint: only the new event is appended
+    _run_to_parquet(spark, p, out, ck, starting=0)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["_lsn"] for r in rows) == [1, 2]
+
+
+def test_cdf_stream_compaction_commit_is_empty_batch(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(i, "I", i, [i], "s") for i in range(8)], 0)
+    v_after_data = t.manifest()["version"]
+    t.compact()  # adds a version but no delta files
+    _run_available(
+        spark, p, "cdf_c", str(tmp_path / "ckc"), starting=v_after_data
+    )
+    assert spark.sql("SELECT count(*) c FROM cdf_c").first()["c"] == 0
+
+
+def test_cdf_stream_schema_evolution_null_fills_old_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(1, "I", 1, [1], "s")], 0)
+    wide = StructType(CH.fields[:]).add("extra", StringType(), True)
+    t.merge_into(
+        spark.createDataFrame([(2, "I", 2, [2], "s", "x")], wide),
+        app_id="cdf",
+        epoch=1,
+    )
+    # stream starts AFTER evolution: schema has `extra`; the old file
+    # (written without it) must null-fill
+    _run_available(spark, p, "cdf_ev", str(tmp_path / "cke"), starting=0)
+    rows = {r["_lsn"]: r for r in spark.sql("SELECT * FROM cdf_ev").collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == "x"
+
+
+def test_cdf_warehouse_mode_tags_tables_and_merges_schema(spark, tmp_path):
+    """Multi-table CDF: one stream over the whole warehouse, rows tagged
+    with table_name (S1/S2/S9 semantics as CDC-out), schema = evolution-
+    merge of every table, block list honored."""
+    from pyspark.sql import functions as F2
+    from multi_table_plugins_spark.streaming import apply_cdc_batch
+
+    wh = str(tmp_path / "wh")
+    rows = [
+        (1, "ta", "I", "x", [1], 1, "s", "2024-01-01 00:00:01"),
+        (2, "tb", "I", "y", [2, 2], 2, "s", "2024-01-01 00:00:02"),
+        (3, "tc", "I", "z", [3], 1, "s", "2024-01-01 00:00:03"),
+        (4, "ta", "D", "x", None, None, None, "2024-01-01 00:00:04"),
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "lsn long, table_name string, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string, ts string",
+    ).withColumn("ts", F2.col("ts").cast("timestamp"))
+    apply_cdc_batch(spark, feed, wh, epoch=0, app_id="w", n_buckets=2)
+
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("warehouse", wh)
+        .option("blockTables", "tc")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_wh")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cdf_wh").collect()
+    by = {(r["table_name"], r["_lsn"]): r for r in got}
+    assert set(by) == {("ta", 1), ("tb", 2), ("ta", 4)}  # tc blocked
+    assert by[("ta", 4)]["_change_op"] == "D"
+    assert by[("tb", 2)]["tokens"] == [2, 2]
+    # table_name is the FIRST column (the reference's tagged-union shape)
+    assert got[0].__fields__[0] == "table_name"
+
+
+def test_cdf_warehouse_mode_new_table_appears_mid_stream(spark, tmp_path):
+    from pyspark.sql import functions as F2
+    from multi_table_plugins_spark.streaming import apply_cdc_batch
+
+    wh = str(tmp_path / "wh")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def mk_feed(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, table_name string, op string, doc_id string, "
+            "tokens array<int>, n_tok int, source string, ts string",
+        ).withColumn("ts", F2.col("ts").cast("timestamp"))
+
+    apply_cdc_batch(
+        spark,
+        mk_feed([(1, "ta", "I", "a", [1], 1, "s", "2024-01-01 00:00:01")]),
+        wh, epoch=0, app_id="w", n_buckets=2,
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("warehouse", wh)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 1
+    # a NEW table materializes between micro-batches
+    apply_cdc_batch(
+        spark,
+        mk_feed([(2, "tnew", "I", "b", [2], 1, "s", "2024-01-01 00:00:02")]),
+        wh, epoch=1, app_id="w", n_buckets=2,
+    )
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {(r["table_name"], r["_lsn"]) for r in rows} == {("ta", 1), ("tnew", 2)}

@@ -175,3 +175,17 @@ def test_new_curation_ops_stay_jvm_side(spark):
     )
     p = _plan(toks)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_text_metrics_battery_is_one_scan_no_python(spark):
+    """The consolidated text_metrics battery must plan as ONE parquet
+    scan + one projection (no join of the four metric frames, no
+    Python) — computing four per-doc metrics in a single pass is the
+    point of the consolidation."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_text_metrics(spark, SF)
+    p = _plan(df)
+    assert p.count("Scan parquet") == 1, p
+    assert "Exchange" not in p and "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

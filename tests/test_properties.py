@@ -249,3 +249,130 @@ def test_sessionize_partitions_events_by_gap(spark, events, gap):
                 assert b["session_num"] == a["session_num"] + 1
             else:
                 assert b["session_num"] == a["session_num"]
+
+
+# --- round-4 invariants: file skipping + change data feed --------------
+
+
+def _mk_lake(spark, changes_epochs, tmpdir):
+    """Build a LakeTable from a list of epochs, each a list of
+    (lsn, op, key) changes."""
+    from pyspark.sql.types import StructField, StructType
+
+    from multi_table_plugins_spark.lakehouse import LakeTable
+
+    sch = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("doc_id", LongType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmpdir, sch, key="doc_id", n_buckets=2)
+    for i, epoch in enumerate(changes_epochs):
+        if not epoch:
+            continue
+        rows = [
+            (lsn, op, k, None if op == "D" else lsn * 10)
+            for lsn, op, k in epoch
+        ]
+        t.merge_into(
+            spark.createDataFrame(rows, ch), app_id="prop", epoch=i
+        )
+    return t
+
+
+_changes = st.lists(
+    st.tuples(st.sampled_from("IUD"), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_changes, st.integers(0, 12), st.sampled_from(["=", "<", "<=", ">", ">="]))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_file_skipping_equals_plain_filter_on_any_history(
+    spark, ops_keys, bound, op
+):
+    """For ANY change history and ANY key predicate, the stats-pruned
+    read(where=...) equals the unpruned read().filter(...) — pruning is
+    an IO reduction, never a semantics change."""
+    import shutil
+    import tempfile
+
+    changes = [(i + 1, o, k) for i, (o, k) in enumerate(ops_keys)]
+    cut = max(1, len(changes) // 2)
+    work = tempfile.mkdtemp(prefix="prop_skip_")
+    try:
+        t = _mk_lake(spark, [changes[:cut], changes[cut:]], work)
+        sql_op = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
+        want = {
+            (r["doc_id"], r["v"])
+            for r in t.read().filter(f"doc_id {sql_op} {bound}").collect()
+        }
+        got_df = t.read(where=[("doc_id", op, bound)])
+        got = {(r["doc_id"], r["v"]) for r in got_df.collect()}
+        assert got == want
+        info = t.last_scan_info
+        assert 0 <= info["files_read"] <= info["files_total"]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@given(_changes)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_table_changes_equals_snapshot_diff_on_any_history(spark, ops_keys):
+    """For ANY change history split into two epochs, table_changes(v0)
+    equals the brute-force diff of the two materialized snapshots."""
+    import shutil
+    import tempfile
+
+    changes = [(i + 1, o, k) for i, (o, k) in enumerate(ops_keys)]
+    cut = max(1, len(changes) // 2)
+    work = tempfile.mkdtemp(prefix="prop_cdf_")
+    try:
+        t = _mk_lake(spark, [changes[:cut]], work)
+        v0 = t.manifest()["version"]
+        if changes[cut:]:
+            t.merge_into(
+                spark.createDataFrame(
+                    [
+                        (lsn, op, k, None if op == "D" else lsn * 10)
+                        for lsn, op, k in changes[cut:]
+                    ],
+                    "lsn long, op string, doc_id long, v long",
+                ),
+                app_id="prop",
+                epoch=1,
+            )
+
+        def state(version):
+            return {
+                r["doc_id"]: (r["v"], r["_lsn"])
+                for r in t.read(version=version, with_lsn=True).collect()
+            }
+
+        s0, s1 = state(v0), state(None)
+        expected = {}
+        for k in s1:
+            if k not in s0:
+                expected[k] = ("insert", s1[k][0], s1[k][1])
+            elif s1[k][1] != s0[k][1]:
+                expected[k] = ("update", s1[k][0], s1[k][1])
+        for k in s0:
+            if k not in s1:
+                expected[k] = ("delete", s0[k][0], None)
+        got = {}
+        for r in t.table_changes(v0).collect():
+            lsn = None if r["change_type"] == "delete" else r["change_lsn"]
+            got[r["doc_id"]] = (r["change_type"], r["v"], lsn)
+        assert got == expected
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

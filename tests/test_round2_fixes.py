@@ -351,11 +351,13 @@ def test_connected_components_long_chain(spark):
     from multi_table_plugins_spark.operators.components import connected_components
 
     # a 40-node chain has label diameter 40 — pointer jumping must
-    # converge well within max_iter=10 (O(log d) rounds)
+    # converge well within max_iter=10 (O(log d) rounds).
+    # small_graph_edges=0 forces the DISTRIBUTED path (the default would
+    # route this tiny graph to driver-side union-find)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a int, id_b int"
     )
-    comps = connected_components(pairs, max_iter=10).collect()
+    comps = connected_components(pairs, max_iter=10, small_graph_edges=0).collect()
     assert {r["comp"] for r in comps} == {0}
     assert len(comps) == 41
 
@@ -367,7 +369,7 @@ def test_connected_components_raises_on_exhaustion(spark):
         [(i, i + 1) for i in range(40)], "id_a int, id_b int"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, small_graph_edges=0)
 
 
 # ---------------------------------------------------------------------------

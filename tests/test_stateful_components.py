@@ -110,3 +110,34 @@ def test_commit_delta_retries_on_conflict(spark, tmp_table_dir):
     # both the winner's row and the racer's (empty) commit landed
     assert _state(LakeTable(spark, tmp_table_dir)) == {"a": [1], "b": [2]}
     assert t2.last_committed_epoch("w2") == 0
+
+
+def test_cc_union_find_equals_distributed_path(spark):
+    """The adaptive small-graph union-find and the distributed
+    pointer-jumping loop must label identically (comp = min member id)
+    on a graph with chains, cliques, singleton-free structure and
+    string ids."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30, 2)]          # 2-chains
+    edges += [(100 + a, 100 + b) for a in range(5) for b in range(a)]  # clique
+    edges += [(rng.randint(200, 240), rng.randint(200, 240)) for _ in range(30)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").filter(
+        "id_a <> id_b"
+    )
+    fast = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs).collect()  # union-find path
+    }
+    dist = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == dist and fast
+
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    sfast = {r["node"]: r["comp"] for r in connected_components(spairs).collect()}
+    assert sfast == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -708,6 +708,88 @@ FROM s
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus statistics battery: doc counts, total chars,
+    distinct languages, and DISCRETE p50/p90/p99 length quantiles. The
+    quantile index is pure integer arithmetic — ``(cnt-1)*k div d + 1``
+    into the per-source rank — so both engines select the same physical
+    value (continuous/interpolated percentiles round-trip through
+    doubles and hit the cross-engine rounding boundary class; discrete
+    selection cannot). One shuffle for the rank window + one hash agg."""
+    docs = _r(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("cnt"),
+    )
+
+    def at_q(k: int, d: int):
+        idx = F.expr(f"((cnt - 1) * {k}) div {d}") + F.lit(1)
+        return F.max(F.when(F.col("rn") == idx, F.col("n_chars")))
+
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        at_q(1, 2).alias("p50_chars"),
+        at_q(9, 10).alias("p90_chars"),
+        at_q(99, 100).alias("p99_chars"),
+    )
+
+
+O_CORPUS_STATS = """
+WITH r AS (
+  SELECT source, n_chars, lang,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MAX(CASE WHEN rn = ((cnt - 1) * 1) // 2 + 1 THEN n_chars END) AS p50_chars,
+       MAX(CASE WHEN rn = ((cnt - 1) * 9) // 10 + 1 THEN n_chars END) AS p90_chars,
+       MAX(CASE WHEN rn = ((cnt - 1) * 99) // 100 + 1 THEN n_chars END) AS p99_chars
+FROM r GROUP BY source
+"""
+
+
+def q_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-5 word tokens per source by frequency
+    (count desc, token asc tiebreak). Exact top-k as explode → two
+    hash aggregations (map-side partial combine on (source, token)) +
+    a per-source ranking window over the already-tiny count frame —
+    the shuffle is keyed on the group, never a global sort."""
+    docs = _r(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.col("tok"))
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= 5)
+
+
+O_TOP_TOKENS = """
+WITH t AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+SELECT source, tok, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rank
+  FROM c
+) WHERE rank <= 5
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _r(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -2354,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_channel": q_error_channel,
         "dedup_exact": q_dedup_exact,
         "text_metrics": q_text_metrics,
+        "corpus_stats": q_corpus_stats,
+        "top_tokens": q_top_tokens,
         "ann_cosine_topk": q_ann_cosine_topk,
         "sql_statement_join": q_sql_statement_join,
         "set_ops": q_set_ops,
@@ -2407,6 +2491,8 @@ def oracle_sql() -> dict[str, str]:
         "error_channel": O_ERROR_CHANNEL,
         "dedup_exact": O_DEDUP_EXACT,
         "text_metrics": _o_text_metrics(),
+        "corpus_stats": O_CORPUS_STATS,
+        "top_tokens": O_TOP_TOKENS,
         "ann_cosine_topk": O_ANN_TOPK,
         "sql_statement_join": O_SQL_STATEMENT,
         "set_ops": O_SET_OPS,

@@ -73,6 +73,8 @@ HEADLINE = (
     "dedup_exact",
     "dedup_exact_clusters",
     "text_metrics",
+    "corpus_stats",
+    "top_tokens",
     "simhash_signatures",
     "ann_cosine_topk",
     "minhash_near_dup",

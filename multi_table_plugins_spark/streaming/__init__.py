@@ -9,4 +9,5 @@ from .cdf_source import (  # noqa: F401
     CHANGE_OP_COL,
     COMMIT_VERSION_COL,
     LakeCDFDataSource,
+    replicate_table,
 )

@@ -346,3 +346,65 @@ class LakeCDFDataSource(DataSource):
         if opts.get("warehouse") is not None:
             return WarehouseCDFStreamReader(schema, opts)
         return LakeCDFStreamReader(schema, opts)
+
+
+def replicate_table(
+    spark,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    app_id: str = "replica",
+    available_now: bool = True,
+    fileio=None,
+):
+    """Continuous table replication: stream the source table's change
+    feed (``lake_cdf``) and MERGE each micro-batch into a destination
+    LakeTable — the full CDC loop closed with existing pieces, each
+    contributing its own guarantee:
+
+      * the CDF source's offsets are source VERSIONS in the stream
+        checkpoint → a restarted replica resumes where it stopped;
+      * ``merge_into``'s per-(app_id, epoch=batch_id) ledger makes a
+        replayed micro-batch a no-op → exactly-once end to end;
+      * LWW by the ORIGINAL ``_lsn`` → the replica converges to the
+        source's exact state regardless of batch boundaries.
+
+    Returns the StreamingQuery (``available_now=True`` processes the
+    backlog and stops — incremental refresh; ``False`` runs
+    continuously)."""
+    from ..lakehouse import LakeTable
+
+    spark.dataSource.register(LakeCDFDataSource)
+    io = get_fileio(fileio)
+    src = LakeTable(spark, src_path, io=io)
+    key, n_buckets, schema = src.key, src.n_buckets, src.schema()
+
+    def apply(batch_df, batch_id: int):
+        dst = LakeTable.get_or_create(
+            spark, dst_path, schema, key=key, n_buckets=n_buckets, io=io
+        )
+        dst.merge_into(
+            batch_df.drop(COMMIT_VERSION_COL),
+            app_id=app_id,
+            epoch=batch_id,
+            lsn_col=LSN_COL,
+            op_col=CHANGE_OP_COL,
+        )
+
+    reader = (
+        spark.readStream.format("lake_cdf")
+        .option("path", src_path)
+        .option("startingVersion", 0)
+    )
+    if io.name != "local":
+        # stream-reader options are strings: named backends round-trip;
+        # a custom FileIO instance must also be registered by name
+        reader = reader.option("fileio", io.name)
+    w = (
+        reader.load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -259,3 +259,48 @@ def test_cdf_warehouse_mode_new_table_appears_mid_stream(spark, tmp_path):
     run()
     rows = spark.read.parquet(out).collect()
     assert {(r["table_name"], r["_lsn"]) for r in rows} == {("ta", 1), ("tnew", 2)}
+
+
+def test_replicate_table_converges_and_resumes_exactly_once(spark, tmp_path):
+    """The full CDC loop: source table → lake_cdf stream → merge_into
+    replica. After each incremental refresh the replica equals the
+    source exactly (including deletes); a replayed refresh with no new
+    source commits is a ledger no-op."""
+    from multi_table_plugins_spark.streaming.cdf_source import replicate_table
+
+    src_p = str(tmp_path / "src")
+    dst_p = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    src = LakeTable.create(spark, src_p, SCHEMA, key="doc_id", n_buckets=4)
+    _apply(spark, src, [(i, "I", i, [i], "s") for i in range(40)], 0)
+
+    def state(t):
+        return {
+            r["doc_id"]: (r["tokens"], r["source"]) for r in t.read().collect()
+        }
+
+    q = replicate_table(spark, src_p, dst_p, ck)
+    q.awaitTermination(120)
+    dst = LakeTable(spark, dst_p)
+    assert state(dst) == state(src)
+
+    # mutate the source: updates, deletes, new keys — refresh converges
+    _apply(
+        spark,
+        src,
+        [(100, "U", 3, [33], "s2"), (101, "D", 7, None, None),
+         (102, "I", 99, [9, 9], "s")],
+        1,
+    )
+    v_dst = dst.manifest()["version"]
+    q = replicate_table(spark, src_p, dst_p, ck)
+    q.awaitTermination(120)
+    assert state(dst) == state(src)
+    assert 7 not in state(dst)
+
+    # no new source commits: refresh is a no-op (no new dst version)
+    v_after = dst.manifest()["version"]
+    q = replicate_table(spark, src_p, dst_p, ck)
+    q.awaitTermination(120)
+    assert dst.manifest()["version"] == v_after
+    assert v_after > v_dst

@@ -50,7 +50,6 @@ def is_safe_table_name(name: str) -> bool:
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
 from .fileio import FileIO, get_fileio
-from ..schemas import LSN_COL
 from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform, _footer_meta
 
 _BUCKET_COL = "_bucket"

@@ -96,12 +96,17 @@ def _footer_rows(path: str, io: FileIO | None = None) -> int:
 _STATS_MAX_STR = 256
 
 
+_EPOCH_ORDINAL = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
 def _stat_value(v):
     """Normalize a parquet-footer statistics value to a JSON-safe,
-    totally-ordered representation: timestamps → epoch µs int, dates →
-    ordinal int (isoformat strings would compare wrong across mixed
-    sub-second precision), numerics/strings pass through, everything
-    else → None (not stat-able)."""
+    totally-ordered representation: timestamps AND dates → epoch µs int
+    (dates at UTC midnight — ONE temporal axis, so a date-keyed table
+    probed with a datetime bound, or vice versa, compares correctly
+    instead of silently pruning everything; isoformat strings would
+    compare wrong across mixed sub-second precision), numerics/strings
+    pass through, everything else → None (not stat-able)."""
     import datetime as _dt
 
     if isinstance(v, bool):
@@ -110,7 +115,7 @@ def _stat_value(v):
         epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
         return int((v - epoch).total_seconds() * 1_000_000)
     if isinstance(v, _dt.date):
-        return v.toordinal()
+        return (v.toordinal() - _EPOCH_ORDINAL) * 86_400_000_000
     if isinstance(v, int):
         return v
     if isinstance(v, float):
@@ -166,6 +171,20 @@ def _footer_meta(
         return _meta(path)
     with io.open_input(path) as f:
         return _meta(f)
+
+
+def _prune_value(v, session_tz_is_utc: bool):
+    """A predicate value usable for FILE PRUNING, or None. Temporal
+    bounds prune only in UTC sessions: footer stats are epoch-µs (UTC),
+    but Spark's row filter interprets a naive datetime/date literal in
+    the SESSION timezone — in a non-UTC session the prune bound would
+    be shifted by the UTC offset and could drop files holding matching
+    rows. (Row-level filtering is unaffected either way.)"""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)) and not session_tz_is_utc:
+        return None
+    return _stat_value(v)
 
 
 def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
@@ -455,6 +474,10 @@ class LakeTable:
 
     _OPS = ("=", "<", "<=", ">", ">=")
 
+    def _session_tz_is_utc(self) -> bool:
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        return tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+
     def _scan(
         self,
         include_tombstones: bool = False,
@@ -480,13 +503,14 @@ class LakeTable:
         prune_preds = []
         if where:
             keys = set(self.key_cols)
+            utc = self._session_tz_is_utc()
             for col, op, v in where:
                 if op not in self._OPS:
                     raise ValueError(
                         f"unsupported predicate op {op!r}; expected one "
                         f"of {self._OPS}"
                     )
-                nv = _stat_value(v)
+                nv = _prune_value(v, utc)
                 if col in keys and nv is not None:
                     prune_preds.append((col, op, nv))
         base_entries: list[dict] = []
@@ -759,10 +783,11 @@ class LakeTable:
         # second pruning stage: within the bucket, skip files whose
         # key-column min/max cannot contain this key (a hot bucket with
         # many delta files reads only the few that overlap)
+        utc = self._session_tz_is_utc()
         preds = [
             (k, "=", nv)
             for k, v in zip(keys, values)
-            if (nv := _stat_value(v)) is not None
+            if (nv := _prune_value(v, utc)) is not None
         ]
         n_total = len(entries)
         if preds:

@@ -76,12 +76,25 @@ def connected_components(
     cheaply and the distributed min-label-propagation + pointer-jumping
     loop runs — the 100 TB path (a billion-edge graph never touches the
     driver)."""
+    # null endpoints participate in no pair on EITHER path (the
+    # distributed equi-joins never match null; the union-find would
+    # TypeError comparing None to an id) — drop them up front
+    pairs = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     undirected = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     probe = undirected.limit(small_graph_edges + 1).collect()
     if len(probe) <= small_graph_edges:
+        # node type = the UNION-coerced type of both endpoint columns
+        # (an int src / long dst frame must not label longs into an
+        # int field) — schema analysis only, no job
+        node_type = (
+            pairs.select(F.col(src).alias("n"))
+            .unionByName(pairs.select(F.col(dst).alias("n")))
+            .schema["n"]
+            .dataType
+        )
         return _cc_union_find(
             [(r["a"], r["b"]) for r in probe],
-            undirected.schema["a"].dataType,
+            node_type,
             pairs.sparkSession,
         )
     edges = (

@@ -124,8 +124,13 @@ TABLE_COL = "table_name"
 
 @dataclass
 class CDFPartition(InputPartition):
+    """``read()`` conforms each file to the stream schema BY NAME
+    (extra columns dropped, missing null-filled), so the partition
+    carries no per-file schema — which also means a mid-stream schema
+    evolution cannot break ``partitions()`` (the reader never needs a
+    schema-version lookup that postdates stream start)."""
+
     file_path: str  # absolute
-    file_schema_json: str  # schema the file was written with
     commit_version: int
     table_name: "str | None" = None  # set in warehouse (multi-table) mode
 
@@ -141,10 +146,6 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             if start is not None
             else _current_version(self._io, self._path)
         )
-        m = _load_manifest(
-            self._io, self._path, _current_version(self._io, self._path)
-        )
-        self._schemas = dict(m["schemas"])  # sv -> schema json (frozen)
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -159,10 +160,9 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return [
             CDFPartition(
                 file_path=os.path.join(self._path, rel),
-                file_schema_json=self._schemas[str(sv)],
                 commit_version=cv,
             )
-            for rel, sv, cv in files
+            for rel, _sv, cv in files
         ]
 
     def read(self, partition: CDFPartition):
@@ -237,7 +237,6 @@ class WarehouseCDFStreamReader(LakeCDFStreamReader):
         self._block = _split_opt(options, "blocktables")
         start = options.get("startingversion")
         self._start_version = int(start) if start is not None else None
-        self._schemas_by_table: dict[str, dict] = {}
 
     def _tables(self) -> "list[str]":
         return _discover_tables(self._io, self._wh, self._allow, self._block)
@@ -270,17 +269,12 @@ class WarehouseCDFStreamReader(LakeCDFStreamReader):
             v_from = s.get(t, 0)
             if v_to <= v_from:
                 continue
-            schemas = self._schemas_by_table.get(t)
-            if schemas is None:
-                m = _load_manifest(self._io, self._tpath(t), v_to)
-                schemas = self._schemas_by_table[t] = dict(m["schemas"])
-            for rel, sv, cv in _added_delta_files(
+            for rel, _sv, cv in _added_delta_files(
                 self._io, self._tpath(t), v_from, v_to
             ):
                 out.append(
                     CDFPartition(
                         file_path=os.path.join(self._tpath(t), rel),
-                        file_schema_json=schemas[str(sv)],
                         commit_version=cv,
                         table_name=t,
                     )
@@ -376,6 +370,16 @@ def replicate_table(
 
     spark.dataSource.register(LakeCDFDataSource)
     io = get_fileio(fileio)
+    from ..lakehouse.fileio import _BACKENDS
+
+    if getattr(io, "name", None) not in _BACKENDS:
+        # stream-reader options travel as STRINGS through the Spark
+        # checkpoint — only named backends can round-trip; a custom
+        # FileIO instance would crash inside the reader at first batch
+        raise ValueError(
+            "replicate_table requires a named FileIO backend "
+            f"({sorted(_BACKENDS)}); got {io!r}"
+        )
     src = LakeTable(spark, src_path, io=io)
     key, n_buckets, schema = src.key, src.n_buckets, src.schema()
 

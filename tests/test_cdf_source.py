@@ -304,3 +304,46 @@ def test_replicate_table_converges_and_resumes_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     assert dst.manifest()["version"] == v_after
     assert v_after > v_dst
+
+
+def test_cdf_stream_survives_mid_stream_schema_evolution(spark, tmp_path):
+    """A schema-evolving commit BETWEEN micro-batches must not kill the
+    long-lived reader (regression: a frozen schema-version map raised
+    KeyError in partitions() on the first post-evolution batch). The
+    new column is dropped from the already-running stream's schema —
+    Structured Streaming schemas are fixed at start — but every row
+    still arrives."""
+    from pyspark.sql.types import StringType as _S
+
+    p = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(1, "I", 1, [1], "s")], 0)
+    _run_to_parquet(spark, p, out, ck, starting=0)
+    assert spark.read.parquet(out).count() == 1
+    # evolve mid-stream: new column arrives with epoch 1
+    wide = StructType(CH.fields[:]).add("extra", _S(), True)
+    t.merge_into(
+        spark.createDataFrame([(2, "I", 2, [2], "s", "x")], wide),
+        app_id="cdf",
+        epoch=1,
+    )
+    _run_to_parquet(spark, p, out, ck, starting=0)  # same checkpoint
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["_lsn"] for r in rows) == [1, 2]
+
+
+def test_replicate_table_rejects_unnamed_fileio(spark, tmp_path):
+    from multi_table_plugins_spark.streaming.cdf_source import replicate_table
+
+    class Custom:
+        name = "custom-spy"
+
+    p = str(tmp_path / "t")
+    LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    with pytest.raises(ValueError, match="named FileIO backend"):
+        replicate_table(
+            spark, p, str(tmp_path / "d"), str(tmp_path / "ck"),
+            fileio=Custom(),
+        )

@@ -180,10 +180,14 @@ def test_string_and_timestamp_keys_prune(spark, tmp_path):
     assert len(got) == 50
     info = t.last_scan_info
     assert info["files_read"] < info["files_total"]
-    # timestamp normalization is epoch-µs (isoformat strings would
-    # compare wrong across precisions)
+    # ONE temporal axis: timestamps and dates both normalize to epoch-µs
+    # (a date-keyed table probed with a datetime bound must compare on
+    # the same scale — ordinal-vs-µs would silently prune everything)
     assert _stat_value(dt.datetime(1970, 1, 1, 0, 0, 1)) == 1_000_000
-    assert _stat_value(dt.date(1970, 1, 2)) == dt.date(1970, 1, 2).toordinal()
+    assert _stat_value(dt.date(1970, 1, 2)) == 86_400_000_000
+    assert _stat_value(dt.date(1970, 1, 2)) == _stat_value(
+        dt.datetime(1970, 1, 2)
+    )
 
 
 def test_bad_op_rejected(table):
@@ -267,3 +271,62 @@ def test_pipeline_fast_path_files_carry_stats(spark, tmp_path):
     assert all("doc_id" in e["stats"] and "_lsn" in e["stats"] for e in entries)
     got = t.read(where=[("doc_id", "=", "d0007")]).collect()
     assert len(got) == 1 and got[0]["tokens"] == [7]
+
+
+def test_cross_type_temporal_predicate_does_not_false_prune(spark, tmp_path):
+    """A DATE-keyed table probed with a datetime bound (and vice versa)
+    must return the same rows as the unpruned filter — regression: the
+    old ordinal-vs-epoch-µs axes made every file fail the interval test
+    and read(where=...) silently returned nothing."""
+    import datetime as dt
+
+    sch = StructType([StructField("d", __import__("pyspark.sql.types", fromlist=["DateType"]).DateType(), False)])
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+        ]
+    ).add("d", sch["d"].dataType, False)
+    t = LakeTable.create(spark, str(tmp_path / "d"), sch, key="d", n_buckets=2)
+    rows = [(i, "I", dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(30)]
+    t.merge_into(spark.createDataFrame(rows, ch), app_id="d", epoch=0)
+    got = t.read(where=[("d", ">=", dt.datetime(2024, 1, 20))]).collect()
+    assert len(got) == 11  # days 19..29 (Jan 20 .. Jan 30)
+    got2 = t.read(where=[("d", ">=", dt.date(2024, 1, 20))]).collect()
+    assert len(got2) == 11
+
+
+def test_non_utc_session_skips_temporal_pruning_but_stays_correct(spark, tmp_path):
+    """In a non-UTC session, temporal predicates must not prune files
+    (the prune bound would be offset-shifted) — they still filter rows."""
+    import datetime as dt
+
+    sch = StructType([StructField("k", LongType(), False)]).add(
+        "ts", __import__("pyspark.sql.types", fromlist=["TimestampType"]).TimestampType(), True
+    )
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("k", LongType(), False),
+        ]
+    ).add("ts", sch["ts"].dataType, True)
+    t = LakeTable.create(spark, str(tmp_path / "z"), sch, key="k", n_buckets=2)
+    rows = [
+        (i, "I", i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(hours=i))
+        for i in range(20)
+    ]
+    t.merge_into(spark.createDataFrame(rows, ch), app_id="z", epoch=0)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        bound = dt.datetime(2024, 1, 1, 20)
+        want = t.read().filter(F.col("ts") >= bound).count()
+        df = t.read(where=[("ts", ">=", bound)])
+        assert df.count() == want
+        info = t.last_scan_info
+        assert info["files_read"] == info["files_total"], (
+            "temporal predicates must not prune outside UTC sessions"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

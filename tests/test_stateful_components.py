@@ -141,3 +141,19 @@ def test_cc_union_find_equals_distributed_path(spark):
     )
     sfast = {r["node"]: r["comp"] for r in connected_components(spairs).collect()}
     assert sfast == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_ignores_null_edge_endpoints(spark):
+    """Null endpoints participate in no pair on either path (regression:
+    the union-find fast path raised TypeError comparing None to an id);
+    mixed int/long endpoint columns label with the widened type."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 6)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 5: 5, 6: 5}
+
+    mixed = spark.createDataFrame([(1, 2)], "id_a int, id_b long")
+    out = connected_components(mixed)
+    assert out.schema["comp"].dataType.simpleString() == "bigint"
+    assert {(r["node"], r["comp"]) for r in out.collect()} == {(1, 1), (2, 1)}

@@ -1144,6 +1144,103 @@ class LakeTable:
         m["snapshot_id"] = f"snap-{m['version']}-{uuid.uuid4().hex[:12]}"
         m["ts"] = time.time()
 
+    def _current_rows_for(self, keyed_df: DataFrame, target: StructType):
+        """Current LWW-resolved rows (tombstones included) of ONLY the
+        buckets that ``keyed_df``'s keys hash into — the bounded
+        read-modify-write read (same bucket-restriction shape as
+        ``table_changes``); None for an empty table."""
+        m = self.manifest()
+        buckets = [
+            str(r[0])
+            for r in keyed_df.select(
+                self._bucket_expr().alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        entries = [
+            e
+            for b in buckets
+            for part in ("base", "delta")
+            for e in m["buckets"].get(b, {}).get(part, [])
+        ]
+        if not entries:
+            return None
+        return self._lww_resolve(self._read_files(entries, target, m), target)
+
+    def _patch_resolve(self, norm: DataFrame, target: StructType) -> DataFrame:
+        """Partial-update (patch) resolution: null payload columns mean
+        UNCHANGED (the Debezium partial-event convention — there is no
+        way to set a column to null in patch mode; use row mode). Per
+        key: each column takes its last non-null value among the
+        batch's live events AFTER the key's last in-batch delete (a
+        delete resets the row — pre-delete values never leak through),
+        then still-null columns coalesce from the CURRENT live row.
+        The output is FULL rows, so merge-on-read whole-row LWW —
+        reads, compaction, time travel, CDF — is completely unchanged;
+        the extra cost is one join against only the touched buckets."""
+        keys = self.key_cols
+        payload = [
+            f.name
+            for f in target.fields
+            if f.name not in keys and f.name not in (LSN_COL, DELETED_COL)
+        ]
+        spine = norm.groupBy(*keys).agg(
+            F.max(LSN_COL).alias("_final_lsn"),
+            F.max_by(F.col(DELETED_COL), F.col(LSN_COL)).alias("_final_del"),
+            F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL))).alias(
+                "_last_del"
+            ),
+        )
+        live = norm.join(spine.select(*keys, "_last_del"), keys).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            & (
+                F.col(LSN_COL)
+                > F.coalesce(F.col("_last_del"), F.lit(-(1 << 62)))
+            )
+        )
+        # max_by skips rows whose ordering expression is null, so each
+        # column independently takes its latest NON-NULL value
+        patch = live.groupBy(*keys).agg(
+            *[
+                F.max_by(
+                    F.col(c), F.when(F.col(c).isNotNull(), F.col(LSN_COL))
+                ).alias(c)
+                for c in payload
+            ]
+        )
+        out = spine.join(patch, keys, "left")
+        old = self._current_rows_for(spine, target)
+        if old is not None:
+            o = old.select(
+                *keys,
+                *[F.col(c).alias(f"_o_{c}") for c in payload],
+                F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_o_del"),
+            )
+            out = out.join(o, keys, "left")
+            for c in payload:
+                out = out.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c),
+                        F.when(
+                            ~F.coalesce(F.col("_o_del"), F.lit(True)),
+                            F.col(f"_o_{c}"),
+                        ),
+                    ),
+                )
+            out = out.drop(*[f"_o_{c}" for c in payload], "_o_del")
+        out = (
+            out.withColumn(LSN_COL, F.col("_final_lsn"))
+            .withColumn(DELETED_COL, F.col("_final_del"))
+            .drop("_final_lsn", "_final_del", "_last_del")
+        )
+        for c in payload:  # tombstones carry null payload, like row mode
+            out = out.withColumn(
+                c, F.when(~F.col(DELETED_COL), F.col(c))
+            )
+        return _conform(out, target)
+
     def merge_into(
         self,
         changes: DataFrame,
@@ -1152,6 +1249,7 @@ class LakeTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         compact: bool | None = None,
+        update_mode: str = "row",
     ) -> dict:
         """MERGE a batch of change events into the table (upsert + delete,
         last-writer-wins by ``lsn_col``). Exactly-once: if ``epoch`` is not
@@ -1162,9 +1260,20 @@ class LakeTable:
         ``op_col`` ('I'/'U'/'D'). Payload may add columns or widen types →
         schema evolves first (separate atomic commit).
 
+        ``update_mode="patch"`` — partial-update events: a null (or
+        absent) payload column means UNCHANGED rather than "set null";
+        the batch is resolved column-wise and coalesced against the
+        current state of only the touched buckets before writing full
+        rows (see :meth:`_patch_resolve`), so every read path keeps
+        plain whole-row LWW semantics.
+
         Returns metrics: rows_applied, distinct keys, deletes, buckets
         touched, bytes/files written, snapshot_id, skipped flag.
         """
+        if update_mode not in ("row", "patch"):
+            raise ValueError(
+                f"update_mode must be 'row' or 'patch', got {update_mode!r}"
+            )
         if epoch is not None:
             last = self.last_committed_epoch(app_id)
             if last is not None and epoch <= last:
@@ -1188,8 +1297,11 @@ class LakeTable:
             DELETED_COL, F.col(op_col) == F.lit("D")
         )
         norm = _conform(norm, target)
-        # LWW-dedup *within* the batch so delta files hold one row per key
-        deduped = self._lww_resolve(norm, target)
+        # resolve *within* the batch so delta files hold one row per key
+        if update_mode == "patch":
+            deduped = self._patch_resolve(norm, target)
+        else:
+            deduped = self._lww_resolve(norm, target)
         # Observation piggybacks row/delete counts on the write job itself —
         # no second pass over the batch for metrics.
         from pyspark.sql import Observation

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""spark-submit maintenance CLI for a lakehouse warehouse — the ops
+counterpart to run_cdc_job.py's ingest:
+
+    spark-submit --py-files mtp.zip maintain.py <command> --warehouse /lake/wh [...]
+
+Commands
+--------
+tables
+    List every table with version, live-row/file counts, and size.
+compact [--tables a,b] [--minor]
+    Fold delta files into the base (major), or delta-merge only
+    (--minor) — bucket-bounded rewrites, never O(table) unless every
+    bucket carries deltas.
+expire-snapshots --keep-last N [--remove-orphans] [--tables a,b]
+    Drop old manifests + the files only they referenced; optionally
+    sweep stale crashed-writer orphans (Iceberg expire/remove-orphans
+    analog). Bounds time-travel history and storage growth.
+vacuum-tombstones --lsn-watermark W [--tables a,b]
+    Physically drop tombstones below the feed's low-water mark.
+replicate --src T --dst-path P --checkpoint C [--continuous]
+    Incremental-refresh a replica of one table through the streaming
+    change feed (exactly-once; see streaming.cdf_source.replicate_table).
+
+All commands route driver-side IO through the FileIO seam
+(--fileio local|generic, default $MTP_FILEIO).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(cpus_env: str = "SPARK_GRAFT_CPUS"):
+    from multi_table_plugins_spark.session import get_spark
+
+    return get_spark("mtp-maintain", cores=int(os.environ.get(cpus_env, "8")))
+
+
+def _tables_of(warehouse: str, io, only: "list[str]") -> "list[str]":
+    from multi_table_plugins_spark.streaming.cdf_source import _discover_tables
+
+    names = _discover_tables(io, warehouse, set(only), set())
+    if only:
+        missing = sorted(set(only) - set(names))
+        if missing:
+            raise SystemExit(f"no such table(s) under {warehouse}: {missing}")
+    return names
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--warehouse", required=True)
+        sp.add_argument("--tables", default="",
+                        help="comma list; default: every table")
+        sp.add_argument("--fileio", default=None,
+                        choices=["local", "generic"])
+
+    common(sub.add_parser("tables", help="list tables + stats"))
+    sp = sub.add_parser("compact", help="fold deltas into the base")
+    common(sp)
+    sp.add_argument("--minor", action="store_true",
+                    help="delta-merge only (leave the base untouched)")
+    sp = sub.add_parser("expire-snapshots", help="drop old manifests + files")
+    common(sp)
+    sp.add_argument("--keep-last", type=int, required=True)
+    sp.add_argument("--remove-orphans", action="store_true")
+    sp = sub.add_parser("vacuum-tombstones", help="drop old tombstones")
+    common(sp)
+    sp.add_argument("--lsn-watermark", type=int, required=True)
+    sp = sub.add_parser("replicate", help="refresh a streaming CDF replica")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="source table name")
+    sp.add_argument("--dst-path", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+
+    a = p.parse_args()
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from multi_table_plugins_spark.lakehouse.fileio import get_fileio
+
+    io = get_fileio(a.fileio)
+    spark = _spark()
+    out: dict = {"cmd": a.cmd, "tables": {}}
+    if a.cmd == "replicate":
+        from multi_table_plugins_spark.streaming.cdf_source import (
+            replicate_table,
+        )
+
+        q = replicate_table(
+            spark,
+            os.path.join(a.warehouse, a.src),
+            a.dst_path,
+            a.checkpoint,
+            available_now=not a.continuous,
+            fileio=a.fileio,
+        )
+        q.awaitTermination()
+        out["tables"][a.src] = {
+            "replica_rows": LakeTable(spark, a.dst_path, io=io).read().count()
+        }
+    else:
+        only = [t for t in a.tables.split(",") if t]
+        for t in _tables_of(a.warehouse, io, only):
+            lt = LakeTable(spark, os.path.join(a.warehouse, t), io=io)
+            if a.cmd == "tables":
+                m = lt.manifest()
+                files = sum(
+                    len(b.get("base", [])) + len(b.get("delta", []))
+                    for b in m["buckets"].values()
+                )
+                size = sum(
+                    e["bytes"]
+                    for b in m["buckets"].values()
+                    for part in ("base", "delta")
+                    for e in b.get(part, [])
+                )
+                out["tables"][t] = {
+                    "version": m["version"],
+                    "files": files,
+                    "bytes": size,
+                    "rows": lt.count(),
+                }
+            elif a.cmd == "compact":
+                out["tables"][t] = (
+                    lt.compact_deltas() if a.minor else lt.compact()
+                )
+            elif a.cmd == "expire-snapshots":
+                out["tables"][t] = lt.expire_snapshots(
+                    keep_last=a.keep_last, remove_orphans=a.remove_orphans
+                )
+            elif a.cmd == "vacuum-tombstones":
+                out["tables"][t] = lt.vacuum_tombstones(a.lsn_watermark)
+    print(json.dumps(out, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1265,7 +1265,10 @@ class LakeTable:
         the batch is resolved column-wise and coalesced against the
         current state of only the touched buckets before writing full
         rows (see :meth:`_patch_resolve`), so every read path keeps
-        plain whole-row LWW semantics.
+        plain whole-row LWW semantics. Patch mode is read-modify-write:
+        it assumes ONE writer per table (the CDC pipeline's model) — a
+        concurrent writer committing between the state read and this
+        commit could have its columns overwritten by the coalesced row.
 
         Returns metrics: rows_applied, distinct keys, deletes, buckets
         touched, bytes/files written, snapshot_id, skipped flag.

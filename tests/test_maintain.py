@@ -1,0 +1,86 @@
+"""The maintenance CLI (maintain.py): subcommands run against a real
+warehouse in their own python process (each owns its SparkSession) and
+print one JSON line."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    from multi_table_plugins_spark.streaming import apply_cdc_batch
+
+    d = str(tmp_path_factory.mktemp("maintwh"))
+    rows = [
+        (i, f"t{i % 2}", "I", f"d{i}", [i], 1, "s", "2024-01-01 00:00:01")
+        for i in range(40)
+    ] + [(100, "t0", "D", "d0", None, None, None, "2024-01-01 00:00:02")]
+    feed = spark.createDataFrame(
+        rows,
+        "lsn long, table_name string, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    apply_cdc_batch(spark, feed, d, epoch=0, app_id="m", n_buckets=2)
+    return d
+
+
+def _run(*args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "maintain.py"), *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_tables_compact_expire(wh):
+    out = _run("tables", "--warehouse", wh)
+    assert set(out["tables"]) == {"t0", "t1"}
+    assert out["tables"]["t0"]["rows"] == 19  # d0 deleted
+    assert out["tables"]["t1"]["rows"] == 20
+
+    out = _run("compact", "--warehouse", wh, "--tables", "t0")
+    assert list(out["tables"]) == ["t0"]
+
+    out = _run(
+        "expire-snapshots", "--warehouse", wh, "--keep-last", "1",
+        "--remove-orphans",
+    )
+    assert set(out["tables"]) == {"t0", "t1"}
+
+    # state intact after the maintenance ladder
+    out = _run("tables", "--warehouse", wh)
+    assert out["tables"]["t0"]["rows"] == 19
+    assert out["tables"]["t1"]["rows"] == 20
+
+
+def test_unknown_table_rejected(wh):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "maintain.py"),
+            "tables",
+            "--warehouse",
+            wh,
+            "--tables",
+            "nope",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert proc.returncode != 0
+    assert "no such table" in proc.stderr

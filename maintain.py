@@ -109,7 +109,7 @@ def main() -> None:
             "replica_rows": LakeTable(spark, a.dst_path, io=io).read().count()
         }
     else:
-        only = [t for t in a.tables.split(",") if t]
+        only = [t.strip() for t in a.tables.split(",") if t.strip()]
         for t in _tables_of(a.warehouse, io, only):
             lt = LakeTable(spark, os.path.join(a.warehouse, t), io=io)
             if a.cmd == "tables":

@@ -50,7 +50,14 @@ def is_safe_table_name(name: str) -> bool:
 
 from ..schemas import DELETED_COL, LSN_COL, payload_schema_of_changes
 from .fileio import FileIO, get_fileio
-from .table import DATA_DIR, DELTA_WRITE_OPTS, LakeTable, _conform, _footer_meta
+from .table import (
+    DATA_DIR,
+    DELTA_WRITE_OPTS,
+    LakeTable,
+    _STATS_V,
+    _conform,
+    _footer_meta,
+)
 
 _BUCKET_COL = "_bucket"
 _TABLE_COL = "_table"
@@ -213,6 +220,7 @@ def merge_many(
                 }
                 if stats:
                     entry["stats"] = stats
+                    entry["stats_v"] = _STATS_V
                 entries.setdefault(bucket, []).append(entry)
         t0 = time.time()
         m = lt.commit_delta(entries, payload_schema, app_id, epoch)

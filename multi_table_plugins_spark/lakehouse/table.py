@@ -112,8 +112,14 @@ def _stat_value(v):
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, _dt.datetime):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        # tz-aware → convert to UTC first: subtracting an epoch that
+        # CARRIES the value's offset would yield offset-shifted µs vs
+        # the naive-UTC footer stats and false-prune files
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int(
+            (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
     if isinstance(v, _dt.date):
         return (v.toordinal() - _EPOCH_ORDINAL) * 86_400_000_000
     if isinstance(v, int):
@@ -187,10 +193,20 @@ def _prune_value(v, session_tz_is_utc: bool):
     return _stat_value(v)
 
 
+#: stats normalization format version. v2 = dates as epoch-µs (v1,
+#: never marked, used date ordinals — entries without the marker are
+#: conservatively never pruned, so a pre-existing warehouse cannot
+#: silently lose rows to a representation change)
+_STATS_V = 2
+
+
 def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
     """Can this file entry possibly contain a row satisfying every
     predicate? ``preds`` are (col, op, normalized_value); a file with no
-    stats for a predicate's column is conservatively kept."""
+    stats — or stats written under a different normalization version —
+    is conservatively kept."""
+    if entry.get("stats_v") != _STATS_V:
+        return True
     stats = entry.get("stats") or {}
     for col, op, v in preds:
         rng = stats.get(col)
@@ -990,6 +1006,7 @@ class LakeTable:
                 }
                 if stats:
                     entry["stats"] = stats
+                    entry["stats_v"] = _STATS_V
                 entries.setdefault(bucket, []).append(entry)
         return entries
 
@@ -1185,6 +1202,10 @@ class LakeTable:
             for f in target.fields
             if f.name not in keys and f.name not in (LSN_COL, DELETED_COL)
         ]
+        if not payload:
+            # keys-only table: nothing to patch — row LWW is identical
+            # (and groupBy().agg() with zero expressions is illegal)
+            return self._lww_resolve(norm, target)
         spine = norm.groupBy(*keys).agg(
             F.max(LSN_COL).alias("_final_lsn"),
             F.max_by(F.col(DELETED_COL), F.col(LSN_COL)).alias("_final_del"),
@@ -1218,16 +1239,18 @@ class LakeTable:
                 F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_o_del"),
             )
             out = out.join(o, keys, "left")
+            # coalesce from the stored row ONLY for keys with no
+            # in-batch delete (_last_del null): a delete resets the
+            # row, so a delete-then-partial-reinsert batch must NOT
+            # resurrect the pre-delete stored values
+            ok_old = (
+                ~F.coalesce(F.col("_o_del"), F.lit(True))
+                & F.col("_last_del").isNull()
+            )
             for c in payload:
                 out = out.withColumn(
                     c,
-                    F.coalesce(
-                        F.col(c),
-                        F.when(
-                            ~F.coalesce(F.col("_o_del"), F.lit(True)),
-                            F.col(f"_o_{c}"),
-                        ),
-                    ),
+                    F.coalesce(F.col(c), F.when(ok_old, F.col(f"_o_{c}"))),
                 )
             out = out.drop(*[f"_o_{c}" for c in payload], "_o_del")
         out = (

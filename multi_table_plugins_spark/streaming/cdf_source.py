@@ -365,7 +365,12 @@ def replicate_table(
 
     Returns the StreamingQuery (``available_now=True`` processes the
     backlog and stops — incremental refresh; ``False`` runs
-    continuously)."""
+    continuously). The merge ledger is keyed on (``app_id``, max SOURCE
+    version in the batch), so exactly-once survives a lost or recreated
+    stream checkpoint; replicating multiple sources into one
+    destination requires distinct ``app_id``s."""
+    from pyspark.sql import functions as F
+
     from ..lakehouse import LakeTable
 
     spark.dataSource.register(LakeCDFDataSource)
@@ -384,16 +389,33 @@ def replicate_table(
     key, n_buckets, schema = src.key, src.n_buckets, src.schema()
 
     def apply(batch_df, batch_id: int):
-        dst = LakeTable.get_or_create(
-            spark, dst_path, schema, key=key, n_buckets=n_buckets, io=io
-        )
-        dst.merge_into(
-            batch_df.drop(COMMIT_VERSION_COL),
-            app_id=app_id,
-            epoch=batch_id,
-            lsn_col=LSN_COL,
-            op_col=CHANGE_OP_COL,
-        )
+        # exactly-once epoch = the batch's max SOURCE version, not the
+        # stream's batch id: batch ids are checkpoint-lineage-local, so
+        # a lost/recreated checkpoint against an existing replica would
+        # restart them at 0 and the ledger would silently skip every
+        # batch forever. Source versions are monotone and identical
+        # under any checkpoint; redelivered versions skip via the
+        # ledger, partially-redelivered batches re-apply idempotently
+        # (same lsn rows → same LWW state).
+        batch_df = batch_df.persist()  # read once: version agg + merge
+        try:
+            top = batch_df.agg(
+                F.max(COMMIT_VERSION_COL).alias("v")
+            ).first()["v"]
+            if top is None:
+                return  # empty micro-batch
+            dst = LakeTable.get_or_create(
+                spark, dst_path, schema, key=key, n_buckets=n_buckets, io=io
+            )
+            dst.merge_into(
+                batch_df.drop(COMMIT_VERSION_COL),
+                app_id=app_id,
+                epoch=int(top),
+                lsn_col=LSN_COL,
+                op_col=CHANGE_OP_COL,
+            )
+        finally:
+            batch_df.unpersist()
 
     reader = (
         spark.readStream.format("lake_cdf")

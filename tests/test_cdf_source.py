@@ -347,3 +347,27 @@ def test_replicate_table_rejects_unnamed_fileio(spark, tmp_path):
             spark, p, str(tmp_path / "d"), str(tmp_path / "ck"),
             fileio=Custom(),
         )
+
+
+def test_replicate_survives_lost_checkpoint(spark, tmp_path):
+    """Exactly-once is keyed on SOURCE versions, not stream batch ids:
+    a recreated checkpoint against an existing replica must re-deliver
+    already-applied versions as ledger no-ops AND still apply new
+    source commits (regression: batch-id epochs restarted at 0 and
+    silently skipped everything forever)."""
+    from multi_table_plugins_spark.streaming.cdf_source import replicate_table
+
+    src_p = str(tmp_path / "src")
+    dst_p = str(tmp_path / "dst")
+    src = LakeTable.create(spark, src_p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, src, [(i, "I", i, [i], "s") for i in range(10)], 0)
+    q = replicate_table(spark, src_p, dst_p, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    dst = LakeTable(spark, dst_p)
+    assert dst.read().count() == 10
+    # new source commit, then refresh with a FRESH checkpoint
+    _apply(spark, src, [(100, "U", 3, [33], "s2")], 1)
+    q = replicate_table(spark, src_p, dst_p, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["tokens"] for r in dst.read().collect()}
+    assert got[3] == [33] and len(got) == 10

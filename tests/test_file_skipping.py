@@ -330,3 +330,29 @@ def test_non_utc_session_skips_temporal_pruning_but_stays_correct(spark, tmp_pat
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_unversioned_stats_never_prune(spark):
+    """Entries written under an older stats normalization (no stats_v
+    marker — e.g. dates as ordinals) are conservatively kept: a
+    representation change must never silently prune a pre-existing
+    warehouse's files."""
+    from multi_table_plugins_spark.lakehouse.table import _STATS_V
+
+    legacy = {"path": "p", "rows": 1, "stats": {"d": [738886, 738916]}}
+    assert _entry_matches(legacy, [("d", "=", 1_706_000_000_000_000)])
+    current = dict(legacy, stats_v=_STATS_V)
+    assert not _entry_matches(current, [("d", "=", 1_706_000_000_000_000)])
+
+
+def test_tz_aware_predicate_normalizes_to_true_utc(spark):
+    """A tz-aware non-UTC datetime bound must normalize to TRUE epoch-µs
+    (regression: subtracting an epoch carrying the value's own offset
+    shifted the bound by the UTC offset and false-pruned files)."""
+    import datetime as dt
+
+    aware = dt.datetime(
+        2024, 1, 1, 15, tzinfo=dt.timezone(dt.timedelta(hours=5))
+    )  # == 10:00 UTC
+    naive_utc = dt.datetime(2024, 1, 1, 10)
+    assert _stat_value(aware) == _stat_value(naive_utc)

@@ -154,3 +154,42 @@ def test_patch_merge_equals_brute_force_on_any_history(spark, evs):
         assert _state(t) == _brute(events)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_patch_delete_then_reinsert_over_stored_live_row(spark, tmp_path):
+    """THE leak case: the stored row is LIVE, and one batch deletes then
+    partially re-inserts the key — the stored pre-delete value must not
+    be resurrected through the coalesce (regression: the coalesce gate
+    checked only the stored row's tombstone flag, not the in-batch
+    delete)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="k", n_buckets=2)
+    e0 = [(1, "I", 1, 10, "x")]
+    _merge(spark, t, e0, 0)
+    e1 = [(2, "D", 1, None, None), (3, "I", 1, None, "z")]
+    _merge(spark, t, e1, 1)
+    assert _state(t) == _brute(e0 + e1) == {1: (None, "z")}
+    # and a batch WITHOUT a delete still coalesces from the stored row
+    e2 = [(4, "U", 1, 55, None)]
+    _merge(spark, t, e2, 2)
+    assert _state(t) == _brute(e0 + e1 + e2) == {1: (55, "z")}
+
+
+def test_patch_mode_on_keys_only_table_degrades_to_row_lww(spark, tmp_path):
+    from pyspark.sql.types import StructField as _F, StructType as _T
+
+    sch = _T([_F("k", LongType(), False)])
+    ch = _T(
+        [
+            _F("lsn", LongType(), False),
+            _F("op", StringType(), False),
+            _F("k", LongType(), False),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, key="k", n_buckets=2)
+    t.merge_into(
+        spark.createDataFrame([(1, "I", 1), (2, "I", 2), (3, "D", 1)], ch),
+        app_id="p",
+        epoch=0,
+        update_mode="patch",
+    )
+    assert {r["k"] for r in t.read().collect()} == {2}

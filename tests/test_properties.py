@@ -198,7 +198,8 @@ def test_scd2_reconstructs_lww_at_every_instant(spark, events):
     rows = [(eid, ts, k, f"v{eid}") for eid, ts, k in events]
     df = spark.createDataFrame(rows, "eid long, ts long, k long, v string")
     hist = scd2_history(df, ["k"], ["ts", "eid"], ["v"])
-    probe_ts = sorted({ts for _, ts, _ in events})[len(events) // 2]
+    distinct_ts = sorted({ts for _, ts, _ in events})
+    probe_ts = distinct_ts[len(distinct_ts) // 2]
     got = {
         r["k"]: r["v"]
         for r in scd2_as_of(hist, F.lit(probe_ts)).collect()

@@ -179,18 +179,69 @@ def _footer_meta(
         return _meta(f)
 
 
-def _prune_value(v, session_tz_is_utc: bool):
-    """A predicate value usable for FILE PRUNING, or None. Temporal
-    bounds prune only in UTC sessions: footer stats are epoch-µs (UTC),
-    but Spark's row filter interprets a naive datetime/date literal in
-    the SESSION timezone — in a non-UTC session the prune bound would
-    be shifted by the UTC offset and could drop files holding matching
-    rows. (Row-level filtering is unaffected either way.)"""
+def _prune_value(v, dtype, session_tz_is_utc: bool):
+    """A predicate value usable for FILE PRUNING against stats of a
+    column typed ``dtype``, or None (= never prune on this predicate).
+
+    The value is normalized through the COLUMN's type — the same cast
+    the bucket hash and row filter apply — so a probe whose Python type
+    differs from the column's category can never compare against stats
+    on the wrong axis:
+
+      * numeric probe on a timestamp column = epoch SECONDS (Spark's
+        ``CAST(long AS TIMESTAMP)`` semantics) → scaled to the stats'
+        epoch-µs axis; on a date column the cast is invalid in Spark,
+        so no pruning;
+      * datetime/date probe on a non-temporal column → no pruning (a
+        long column may hold epoch-anything — incomparable);
+      * float/double COLUMNS never prune: parquet writers omit or
+        mishandle NaN in min/max while Spark orders NaN above every
+        value, so a file holding NaN key rows could be pruned by a
+        ``>`` bound (and a NaN probe would prune everything);
+      * temporal bounds prune only in UTC sessions: footer stats are
+        epoch-µs (UTC), but Spark's row filter interprets a naive
+        datetime/date literal in the SESSION timezone — in a non-UTC
+        session the prune bound would be shifted by the UTC offset and
+        could drop files holding matching rows. (Row-level filtering
+        is unaffected either way.)"""
     import datetime as _dt
 
-    if isinstance(v, (_dt.datetime, _dt.date)) and not session_tz_is_utc:
-        return None
-    return _stat_value(v)
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return None  # NaN breaks min/max soundness (see docstring)
+    temporal_col = isinstance(
+        dtype, (DateType, TimestampType, TimestampNTZType)
+    )
+    if isinstance(v, _dt.date):  # datetime is a date subclass — both here
+        if not temporal_col or not session_tz_is_utc:
+            return None
+        return _stat_value(v)
+    if isinstance(v, bool):
+        return _stat_value(v) if isinstance(dtype, BooleanType) else None
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and v != v:
+            return None  # NaN probe
+        if temporal_col:
+            # only TIMESTAMP accepts a numeric cast (epoch seconds)
+            if not isinstance(dtype, TimestampType):
+                return None
+            return v * 1_000_000 if isinstance(v, int) else v * 1e6
+        return v if isinstance(dtype, NumericType) else None
+    if isinstance(v, str):
+        if not isinstance(dtype, StringType):
+            return None
+        return _stat_value(v)
+    return None
 
 
 #: stats normalization format version. v2 = dates as epoch-µs (v1,
@@ -308,6 +359,14 @@ class LakeTable:
                 f"key column(s) {missing} not in table schema "
                 f"{schema.fieldNames()}"
             )
+        reserved = set(BOOKKEEPING_COLS) & set(schema.fieldNames())
+        if reserved:
+            # _internal_schema appends these; a same-named payload column
+            # would produce duplicate fields and mis-bound reads
+            raise ValueError(
+                f"column(s) {sorted(reserved)} are reserved for "
+                "bookkeeping and cannot appear in a table schema"
+            )
         io.makedirs(os.path.join(path, MANIFEST_DIR))
         io.makedirs(os.path.join(path, DATA_DIR))
         manifest = {
@@ -413,7 +472,9 @@ class LakeTable:
             )
         return best
 
-    def _publish(self, manifest: dict) -> None:
+    def _publish(
+        self, manifest: dict, added: "dict[str, list[dict]] | None" = None
+    ) -> None:
         """Atomically publish ``manifest`` as the next version.
 
         The FileIO's ``publish_atomic`` is a compare-and-swap: it fails
@@ -422,6 +483,19 @@ class LakeTable:
         concurrency). LocalFileIO implements it with tmp-write +
         ``os.link``; GenericFileIO with an exclusive create — the local
         analog of an object store's conditional PUT.
+
+        After the manifest CAS succeeds, a small ``commit-<v>.json``
+        sidecar records the delta-file entries THIS commit added
+        (``added``, ``{bucket: [entry, ...]}``; empty for maintenance /
+        schema / create commits). Incremental readers (``table_changes``
+        and the ``lake_cdf`` stream) read that O(new files) sidecar per
+        version instead of diffing full cumulative manifests — and a
+        compaction commit, whose sidecar is empty even though it wrote
+        new (merged) delta files, correctly contributes no change
+        events. The sidecar is an optimization, never the commit point:
+        only the CAS winner writes one, and a missing sidecar (legacy
+        warehouse, or a crash between manifest publish and sidecar
+        write) falls back to the manifest diff.
         """
         v = manifest["version"]
         final = os.path.join(self.path, MANIFEST_DIR, f"manifest-{v:08d}.json")
@@ -430,6 +504,29 @@ class LakeTable:
         except FileExistsError as e:
             raise CommitConflict(f"version {v} already committed at {self.path}") from e
         self._manifest_cache, self._manifest_cache_version = manifest, v
+        sidecar = os.path.join(
+            self.path, MANIFEST_DIR, f"commit-{v:08d}.json"
+        )
+        try:
+            self.io.publish_atomic(
+                sidecar,
+                json.dumps({"version": v, "added_delta": added or {}}),
+            )
+        except (FileExistsError, OSError):
+            pass  # readers fall back to the manifest diff for this version
+
+    def _load_commit_log(self, version: int) -> "dict | None":
+        """The ``commit-<v>.json`` sidecar for ``version``, or None if
+        this version predates sidecars (legacy) or lost its sidecar to
+        a crash — callers then fall back to the per-version manifest
+        diff."""
+        p = os.path.join(
+            self.path, MANIFEST_DIR, f"commit-{version:08d}.json"
+        )
+        try:
+            return json.loads(self.io.read_text(p))
+        except (FileNotFoundError, ValueError):
+            return None
 
     # ------------------------------------------------------------------
     # properties
@@ -526,9 +623,10 @@ class LakeTable:
                         f"unsupported predicate op {op!r}; expected one "
                         f"of {self._OPS}"
                     )
-                nv = _prune_value(v, utc)
-                if col in keys and nv is not None:
-                    prune_preds.append((col, op, nv))
+                if col in keys:
+                    nv = _prune_value(v, target[col].dataType, utc)
+                    if nv is not None:
+                        prune_preds.append((col, op, nv))
         base_entries: list[dict] = []
         delta_entries: list[dict] = []
         for b in m["buckets"].values():
@@ -561,15 +659,29 @@ class LakeTable:
             # row-level filter for EVERY predicate (post-LWW, so
             # semantics are exactly read().filter(...)); file pruning
             # above was only ever an IO reduction, never the filter
+            from pyspark.sql.types import TimestampType
+
+            names = set(target.fieldNames())
             for col, op, v in where:
                 c = F.col(col)
+                lit = F.lit(v)
+                if (
+                    col in names
+                    and isinstance(target[col].dataType, TimestampType)
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                ):
+                    # epoch-seconds probe on a timestamp column: Spark 4
+                    # refuses implicit TIMESTAMP <op> numeric — apply the
+                    # same cast the bucket hash uses
+                    lit = lit.cast(target[col].dataType)
                 df = df.filter(
                     {
-                        "=": c == F.lit(v),
-                        "<": c < F.lit(v),
-                        "<=": c <= F.lit(v),
-                        ">": c > F.lit(v),
-                        ">=": c >= F.lit(v),
+                        "=": c == lit,
+                        "<": c < lit,
+                        "<=": c <= lit,
+                        ">": c > lit,
+                        ">=": c >= lit,
                     }[op]
                 )
         return df
@@ -652,22 +764,38 @@ class LakeTable:
             for f in target.fields
             if f.name not in keys and f.name not in (LSN_COL, DELETED_COL)
         ]
-        # per-version manifest diff: delta entries whose path is new in v
+        # per-version added-delta discovery: the commit-<v>.json sidecar
+        # lists exactly the entries commit v added — O(new files) IO per
+        # version, and a compaction/vacuum commit's EMPTY sidecar keeps
+        # its rewritten (merged) delta files out of the feed. Versions
+        # without a sidecar (legacy warehouse, crash window) fall back
+        # to diffing that version's full manifest against its parent.
         added: list[dict] = []
         touched: set[str] = set()
-        prev_paths: "set[str] | None" = None
-        for v in range(v_from, v_to + 1):
+        prev_m: "dict | None" = None
+        for v in range(v_from + 1, v_to + 1):
+            c = self._load_commit_log(v)
+            if c is not None:
+                for bucket, es in c.get("added_delta", {}).items():
+                    if es:
+                        added.extend(es)
+                        touched.add(bucket)
+                prev_m = None
+                continue
+            if prev_m is None or prev_m["version"] != v - 1:
+                prev_m = self.manifest(v - 1)
+            prev_paths = {
+                e["path"]
+                for b in prev_m["buckets"].values()
+                for e in b.get("delta", [])
+            }
             m_v = self.manifest(v)
-            paths_v = {}
             for bucket, b in m_v["buckets"].items():
                 for e in b.get("delta", []):
-                    paths_v[e["path"]] = (bucket, e)
-            if prev_paths is not None:
-                for p, (bucket, e) in paths_v.items():
-                    if p not in prev_paths:
+                    if e["path"] not in prev_paths:
                         added.append(e)
                         touched.add(bucket)
-            prev_paths = set(paths_v)
+            prev_m = m_v
 
         out_fields = StructType(
             [f for f in target.fields if f.name in keys]
@@ -803,7 +931,7 @@ class LakeTable:
         preds = [
             (k, "=", nv)
             for k, v in zip(keys, values)
-            if (nv := _prune_value(v, utc)) is not None
+            if (nv := _prune_value(v, schema[k].dataType, utc)) is not None
         ]
         n_total = len(entries)
         if preds:
@@ -816,8 +944,11 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         df = self._read_files(entries, target, m)
         cond = F.lit(True)
-        for k, v in zip(keys, values):
-            cond = cond & (F.col(k) == v)
+        # the SAME typed literals as the bucket hash: Spark 4 refuses an
+        # implicit TIMESTAMP = INT comparison, so an epoch-seconds probe
+        # on a timestamp key must be cast for the row filter too
+        for k, lit in zip(keys, lits):
+            cond = cond & (F.col(k) == lit)
         resolved = self._lww_resolve(df.filter(cond), target)
         return resolved.filter(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -915,10 +1046,14 @@ class LakeTable:
                 except FileNotFoundError:
                     pass  # shared by two expired manifests — already gone
         for n in expired:
-            try:
-                self.io.remove(os.path.join(self.path, MANIFEST_DIR, n))
-            except FileNotFoundError:
-                pass  # concurrent expire already removed it — idempotent
+            v = n[len("manifest-") : -len(".json")]
+            for gone in (n, f"commit-{v}.json"):
+                try:
+                    self.io.remove(
+                        os.path.join(self.path, MANIFEST_DIR, gone)
+                    )
+                except FileNotFoundError:
+                    pass  # concurrent expire / legacy version — idempotent
         self._manifest_cache_version = -1  # drop any cached expired view
 
         orphans = 0
@@ -1038,6 +1173,7 @@ class LakeTable:
         epoch: int | None,
         stats: dict | None = None,
         compact: bool | None = None,
+        require_parent_version: int | None = None,
     ) -> dict:
         """Commit pre-written delta files (one atomic manifest publish).
 
@@ -1048,6 +1184,13 @@ class LakeTable:
         payload schema) + evolution of the current schema, and threshold
         compaction. Returns metrics; ``skipped=True`` if the epoch was
         already committed (caller should discard the files).
+
+        ``require_parent_version`` — commit ONLY on top of exactly that
+        table version; any concurrent commit in between raises
+        ``CommitConflict`` instead of re-applying. Read-modify-write
+        callers (patch merge) use this: their files bake in the state
+        they read, so appending them on top of someone else's commit
+        would silently drop that commit's column values.
         """
         # Optimistic concurrency: delta commits only APPEND file entries,
         # so on a version race we reload the winner's manifest and re-apply
@@ -1059,6 +1202,14 @@ class LakeTable:
                 if last is not None and epoch <= last:
                     return {"skipped": True, "snapshot_id": self.snapshot_id()}
             m = json.loads(json.dumps(self.manifest()))
+            if (
+                require_parent_version is not None
+                and m["version"] != require_parent_version
+            ):
+                raise CommitConflict(
+                    f"table at {self.path} advanced to v{m['version']} "
+                    f"past expected parent v{require_parent_version}"
+                )
             file_sv = self._ensure_schema_version(m, file_schema)
             cur = schema_from_json(m["schemas"][str(m["current_schema_version"])])
             merged = merge_schemas(cur, file_schema)
@@ -1066,10 +1217,13 @@ class LakeTable:
                 sv = self._ensure_schema_version(m, merged)
                 m["current_schema_version"] = sv
             m = json.loads(json.dumps(m))  # isolate per-attempt entry copies
+            added_by_bucket: dict[str, list[dict]] = {}
             for bucket, es in entries_by_bucket.items():
                 entry_copies = [dict(e, sv=file_sv) for e in es]
                 b = m["buckets"].setdefault(bucket, {"base": [], "delta": []})
                 b["delta"].extend(entry_copies)
+                if entry_copies:
+                    added_by_bucket[bucket] = entry_copies
             if epoch is not None:
                 m["committed"][app_id] = epoch
             m["stats"]["total_files"] = sum(
@@ -1078,7 +1232,7 @@ class LakeTable:
             )
             self._advance(m)
             try:
-                self._publish(m)
+                self._publish(m, added=added_by_bucket)
                 break
             except CommitConflict:
                 self._manifest_cache_version = -1  # force reload
@@ -1135,6 +1289,12 @@ class LakeTable:
         version race (CommitConflict) reloads the winner's manifest and
         re-merges — schema merge is monotonic/commutative, so re-applying
         on top of a concurrent commit is always safe."""
+        reserved = set(BOOKKEEPING_COLS) & set(incoming_payload.fieldNames())
+        if reserved:
+            raise ValueError(
+                f"incoming column(s) {sorted(reserved)} are reserved for "
+                "bookkeeping and cannot evolve into the table schema"
+            )
         for _ in range(10):
             cur = self.schema()
             merged = merge_schemas(cur, incoming_payload)
@@ -1288,10 +1448,13 @@ class LakeTable:
         the batch is resolved column-wise and coalesced against the
         current state of only the touched buckets before writing full
         rows (see :meth:`_patch_resolve`), so every read path keeps
-        plain whole-row LWW semantics. Patch mode is read-modify-write:
-        it assumes ONE writer per table (the CDC pipeline's model) — a
-        concurrent writer committing between the state read and this
-        commit could have its columns overwritten by the coalesced row.
+        plain whole-row LWW semantics. Patch mode is read-modify-write,
+        guarded against concurrent writers: the commit is pinned to the
+        exact table version whose state was read
+        (``require_parent_version``); if another writer lands in
+        between, the cycle re-reads, re-resolves, and re-commits
+        (bounded retries, then ``CommitConflict``) — never a silent
+        overwrite of the other writer's columns.
 
         Returns metrics: rows_applied, distinct keys, deletes, buckets
         touched, bytes/files written, snapshot_id, skipped flag.
@@ -1323,52 +1486,79 @@ class LakeTable:
             DELETED_COL, F.col(op_col) == F.lit("D")
         )
         norm = _conform(norm, target)
-        # resolve *within* the batch so delta files hold one row per key
-        if update_mode == "patch":
-            deduped = self._patch_resolve(norm, target)
-        else:
-            deduped = self._lww_resolve(norm, target)
-        # Observation piggybacks row/delete counts on the write job itself —
-        # no second pass over the batch for metrics.
         from pyspark.sql import Observation
 
-        obs = Observation()
-        bucketed = deduped.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col(DELETED_COL).cast("int")).alias("deletes"),
-        ).withColumn(_BUCKET_COL, self._bucket_expr())
+        # Patch mode is read-modify-write: the written rows bake in the
+        # table state read by _patch_resolve, so the commit carries
+        # require_parent_version — if ANY other writer commits between
+        # the state read and the publish, the commit conflicts and the
+        # whole read-resolve-write cycle retries against the new state
+        # (bounded attempts, then a loud CommitConflict — never silent
+        # column loss). Row mode stays a plain append (one pass).
+        attempts = 5 if update_mode == "patch" else 1
+        for attempt in range(attempts):
+            parent_v = (
+                self.manifest()["version"] if update_mode == "patch" else None
+            )
+            # resolve *within* the batch so delta files hold one row per key
+            if update_mode == "patch":
+                deduped = self._patch_resolve(norm, target)
+            else:
+                deduped = self._lww_resolve(norm, target)
+            # Observation piggybacks row/delete counts on the write job
+            # itself — no second pass over the batch for metrics.
+            obs = Observation()
+            bucketed = deduped.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col(DELETED_COL).cast("int")).alias("deletes"),
+            ).withColumn(_BUCKET_COL, self._bucket_expr())
 
-        new_entries = self._write_data_files(
-            bucketed, self.manifest()["version"] + 1, "delta"
-        )
+            new_entries = self._write_data_files(
+                bucketed, self.manifest()["version"] + 1, "delta"
+            )
 
-        got = obs.get
-        rows = got.get("rows", 0)
-        n_del_row = got.get("deletes", 0) or 0
+            got = obs.get
+            rows = got.get("rows", 0)
+            n_del_row = got.get("deletes", 0) or 0
 
-        # Publish through commit_delta: delta commits are append-only, so
-        # its reload-and-retry loop makes a concurrent compaction/vacuum
-        # (CommitConflict) a retried commit instead of a dropped batch.
-        result = self.commit_delta(
-            new_entries,
-            self.schema(),
-            app_id,
-            epoch,
-            stats={"rows_applied": rows, "deletes": n_del_row},
-            compact=compact,
-        )
-        if result.get("skipped"):
-            # epoch raced to committed while we were writing — discard
-            # the unreferenced files (readers only see manifest entries)
-            dirs = {
-                os.path.dirname(os.path.dirname(e["path"]))
-                for es in new_entries.values()
-                for e in es
-            }
-            for d in dirs:
-                self.io.remove_tree(os.path.join(self.path, d))
-        return result
+            # Publish through commit_delta: delta commits are append-only,
+            # so its reload-and-retry loop makes a concurrent compaction/
+            # vacuum (CommitConflict) a retried commit instead of a
+            # dropped batch (unless require_parent_version pins the
+            # parent — see above).
+            try:
+                result = self.commit_delta(
+                    new_entries,
+                    self.schema(),
+                    app_id,
+                    epoch,
+                    stats={"rows_applied": rows, "deletes": n_del_row},
+                    compact=compact,
+                    require_parent_version=parent_v,
+                )
+            except CommitConflict:
+                self._discard_unreferenced(new_entries)
+                self._manifest_cache_version = -1  # reload next read
+                if attempt == attempts - 1:
+                    raise
+                continue
+            if result.get("skipped"):
+                # epoch raced to committed while we were writing — discard
+                # the unreferenced files (readers only see manifest entries)
+                self._discard_unreferenced(new_entries)
+            return result
+
+    def _discard_unreferenced(self, entries: dict[str, list[dict]]) -> None:
+        """Delete data files that were written but never committed (their
+        run directories — readers only ever see manifest entries)."""
+        dirs = {
+            os.path.dirname(os.path.dirname(e["path"]))
+            for es in entries.values()
+            for e in es
+        }
+        for d in dirs:
+            self.io.remove_tree(os.path.join(self.path, d))
 
     def compact_deltas(self, buckets: list[str] | None = None) -> dict:
         """MINOR compaction: merge each bucket's delta files into one

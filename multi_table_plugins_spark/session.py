@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 µs timestamps (not legacy INT96): INT96 columns carry NO
+        # parquet min/max statistics, which silently disables manifest
+        # file skipping for timestamp keys — and µs INT64 is what every
+        # modern reader (Iceberg, DuckDB, pyarrow) expects
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # dynamic-partition writes: concurrent per-partition writers instead
         # of a per-task sort — the sort dominates when rows carry arrays
         .config("spark.sql.maxConcurrentOutputFileWriters", "640")

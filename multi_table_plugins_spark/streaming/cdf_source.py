@@ -20,10 +20,13 @@ Design, and why it scales:
     commit log is the replayable source, like Delta CDF / Iceberg
     incremental reads).
   * **A micro-batch's partitions are the delta FILES added in the
-    version range** (per-version manifest diff — the same walk as
-    ``LakeTable.table_changes``): work is O(new changes), never
-    O(table); compaction/vacuum/schema commits add no delta files and
-    produce empty batches.
+    version range** (each commit's ``commit-<v>.json`` sidecar — the
+    same walk as ``LakeTable.table_changes``, O(new files) driver IO
+    per version with a manifest-diff fallback for legacy versions):
+    work is O(new changes), never O(table); compaction/vacuum/schema
+    commits record empty sidecars and produce empty batches — even
+    minor compaction, which physically writes new merged delta files,
+    re-emits nothing.
   * **Executors read parquet with pyarrow and emit Arrow record
     batches** — the Python Data Source's fast path; no per-row Python.
     Old-schema files are conformed to the stream's start schema
@@ -76,25 +79,56 @@ def _current_version(io, table_path: str) -> int:
     return best
 
 
+def _load_commit_log(io, table_path: str, version: int) -> "dict | None":
+    p = os.path.join(
+        table_path, MANIFEST_DIR, f"commit-{version:08d}.json"
+    )
+    try:
+        return json.loads(io.read_text(p))
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 def _added_delta_files(
     io, table_path: str, v_from: int, v_to: int
 ) -> "list[tuple[str, int, int]]":
     """(relative path, schema version, commit version) of every delta
     file added by commits in ``(v_from, v_to]`` — the identical
-    per-version diff as LakeTable.table_changes."""
+    per-version walk as LakeTable.table_changes: each version's
+    ``commit-<v>.json`` sidecar (O(new files) driver IO, and empty for
+    compaction/vacuum/schema commits so their rewritten delta files are
+    never re-emitted as changes); versions without a sidecar (legacy
+    warehouse, crash window) fall back to diffing the full cumulative
+    manifest against the parent version's."""
     out = []
-    prev: "set[str] | None" = None
-    for v in range(v_from, v_to + 1):
+    prev: "tuple[int, set[str]] | None" = None  # (version, delta paths)
+    for v in range(v_from + 1, v_to + 1):
+        c = _load_commit_log(io, table_path, v)
+        if c is not None:
+            for es in c.get("added_delta", {}).values():
+                for e in es:
+                    out.append((e["path"], int(e["sv"]), v))
+            prev = None
+            continue
+        if prev is None or prev[0] != v - 1:
+            m_prev = _load_manifest(io, table_path, v - 1)
+            prev = (
+                v - 1,
+                {
+                    e["path"]
+                    for b in m_prev["buckets"].values()
+                    for e in b.get("delta", [])
+                },
+            )
         m = _load_manifest(io, table_path, v)
         paths = {}
         for b in m["buckets"].values():
             for e in b.get("delta", []):
                 paths[e["path"]] = e
-        if prev is not None:
-            for p, e in paths.items():
-                if p not in prev:
-                    out.append((p, int(e["sv"]), v))
-        prev = set(paths)
+        for p, e in paths.items():
+            if p not in prev[1]:
+                out.append((p, int(e["sv"]), v))
+        prev = (v, set(paths))
     return out
 
 
@@ -303,10 +337,21 @@ class LakeCDFDataSource(DataSource):
     def schema(self) -> StructType:
         from ..schemas import merge_schemas
 
+        def _check_reserved(table: str, u: StructType) -> None:
+            # the stream appends these; a payload column with the same
+            # name would produce duplicate fields and mis-bound columns
+            for reserved in (CHANGE_OP_COL, LSN_COL, COMMIT_VERSION_COL):
+                if reserved in u.fieldNames():
+                    raise ValueError(
+                        f"table {table!r} has a payload column named "
+                        f"{reserved!r}, which the change feed reserves"
+                    )
+
         io = get_fileio(self.options.get("fileio"))
         wh = self.options.get("warehouse")
         if wh is None:
             user = self._user_schema_of(io, self.options["path"])
+            _check_reserved(self.options["path"], user)
             out = StructType(user.fields[:])
         else:
             tables = _discover_tables(
@@ -326,6 +371,7 @@ class LakeCDFDataSource(DataSource):
                         f"{TABLE_COL!r}, which the multi-table feed "
                         "reserves for the source tag"
                     )
+                _check_reserved(t, u)
                 merged = u if merged is None else merge_schemas(merged, u)
             out = StructType().add(TABLE_COL, "string", False)
             for f in merged.fields:

@@ -882,31 +882,6 @@ FROM orders
 """
 
 
-def q_set_ops(spark, sf_dir):
-    # set operators over the multi-table catalog: customers with orders
-    # minus big spenders, via EXCEPT/INTERSECT equivalents
-    cust = _r(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    with_orders = (
-        _r(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
-    )
-    big = (
-        _r(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 200000)
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    return cust.intersect(with_orders).subtract(big)  # set semantics, like SQL
-
-
-O_SET_OPS = """
-SELECT c_custkey AS custkey FROM customer
-INTERSECT
-SELECT DISTINCT o_custkey FROM orders
-EXCEPT
-SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
-"""
-
-
 def q_multi_table_counts(spark, sf_dir):
     # S1/S5 evidence: discover the catalog, scan every table in one query
     from multi_table_plugins_spark.sources.multi_table import MultiTableSource
@@ -1680,13 +1655,17 @@ def _derived_two_epoch_replay(spark, sf_dir, prefix: str):
     return wh, replay_epoch1, mid
 
 
-def _cdc_time_travel(spark, sf_dir, by: str):
-    """Time travel, oracle-checked: replay the derived feed in two
-    epochs, then read every table AS OF the snapshot committed by epoch
-    0 — addressed by ``version`` (``LakeTable.read(version=...)``) or by
-    ``timestamp`` (``read(as_of=...)`` resolving via ``version_as_of``).
-    The oracle recomputes LWW over only the first epoch's events (lsn
-    below the midpoint — the same deterministic cut on both sides)."""
+def q_cdc_time_travel(spark, sf_dir):
+    """Time-travel battery, oracle-checked: replay the derived feed in
+    two epochs, then read every table AS OF the snapshot committed by
+    epoch 0 through BOTH addressing modes — by ``version``
+    (``LakeTable.read(version=...)``) and by ``timestamp``
+    (``read(as_of=...)`` resolving via ``version_as_of``, probed at a
+    wall-clock instant strictly between the two commits). One replay,
+    both probes, rows tagged by ``probe``; the oracle recomputes LWW
+    over only the first epoch's events (lsn below the midpoint — the
+    same deterministic cut on both sides) and cross-joins the two probe
+    tags, so the two modes must agree with the oracle AND each other."""
     from multi_table_plugins_spark.lakehouse import LakeTable
 
     wh, replay_epoch1, _mid = _derived_two_epoch_replay(
@@ -1701,19 +1680,19 @@ def _cdc_time_travel(spark, sf_dir, by: str):
     for i in range(4):
         t = f"t{i}"
         lt = LakeTable(spark, os.path.join(wh, t))
-        if by == "timestamp":
-            # address the epoch-0 snapshot by a wall-clock instant
-            # strictly between the two commits: version_as_of must
-            # resolve it back to the epoch-0 version
-            ts0 = epoch0[t]["ts"]
-            ts1 = lt.manifest()["ts"]
-            assert ts1 > ts0, "commit timestamps must be increasing"
-            df = lt.read(as_of=(ts0 + ts1) / 2.0)
-        else:
-            df = lt.read(version=epoch0[t]["version"])
-        df = df.withColumn("table_name", F.lit(t))
-        out = df if out is None else out.unionByName(df)
+        ts0 = epoch0[t]["ts"]
+        ts1 = lt.manifest()["ts"]
+        assert ts1 > ts0, "commit timestamps must be increasing"
+        for probe, df in (
+            ("version", lt.read(version=epoch0[t]["version"])),
+            ("timestamp", lt.read(as_of=(ts0 + ts1) / 2.0)),
+        ):
+            df = df.withColumn("table_name", F.lit(t)).withColumn(
+                "probe", F.lit(probe)
+            )
+            out = df if out is None else out.unionByName(df)
     return out.select(
+        "probe",
         "table_name",
         "doc_id",
         F.col("n_tok").cast("int").alias("n_tok"),
@@ -1722,14 +1701,6 @@ def _cdc_time_travel(spark, sf_dir, by: str):
             "tokens", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("tok_sum"),
     )
-
-
-def q_cdc_time_travel(spark, sf_dir):
-    return _cdc_time_travel(spark, sf_dir, by="version")
-
-
-def q_cdc_time_travel_ts(spark, sf_dir):
-    return _cdc_time_travel(spark, sf_dir, by="timestamp")
 
 
 def q_cdc_changes_feed(spark, sf_dir):
@@ -1834,14 +1805,261 @@ WITH c AS (
   WHERE event_id < (SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events)
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn FROM c
+), base AS (
+  SELECT 't' || CAST(k % 4 AS VARCHAR) AS table_name,
+         'd' || CAST(k AS VARCHAR) AS doc_id,
+         n AS n_tok,
+         source,
+         CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) AS tok_sum
+  FROM r
+  WHERE rn = 1 AND op <> 'D'
 )
-SELECT 't' || CAST(k % 4 AS VARCHAR) AS table_name,
-       'd' || CAST(k AS VARCHAR) AS doc_id,
+SELECT p.probe, base.* FROM base
+CROSS JOIN (SELECT 'version' AS probe UNION ALL SELECT 'timestamp') p
+"""
+
+
+def q_cdc_patch_merge(spark, sf_dir):
+    """Partial-update (patch) merge, oracle-checked end to end: a
+    patch feed is derived deterministically from ``events`` (a NULL
+    payload column means UNCHANGED, op 'D' on 'error' events), replayed
+    through ``merge_into(update_mode="patch")`` in two epochs split at
+    the integer lsn midpoint, and the final state read back. The DuckDB
+    oracle computes per key, over only the events AFTER the key's last
+    delete, the last NON-NULL value of each column independently —
+    exactly the column-wise LWW + delete-gating contract
+    (lakehouse/table.py:_patch_resolve). Parity: the reference merges
+    whole rows only; partial-update events are the CDC-feed shape its
+    users handle with custom SQL."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _r(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        (F.col("event_id") % 499).cast("long").alias("k"),
+        F.when(
+            is_del | (F.col("event_id") % 3 == 0), F.lit(None).cast("long")
+        )
+        .otherwise(F.col("event_id").cast("long"))
+        .alias("val_a"),
+        F.when(
+            is_del | (F.col("event_id") % 5 == 0), F.lit(None).cast("string")
+        )
+        .otherwise(F.col("event_type"))
+        .alias("src_b"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2  # same integer cut as oracle
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_patch_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("val_a", LongType(), True),
+            StructField("src_b", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(work, "t"), schema, key="k", n_buckets=8
+    )
+    t.merge_into(
+        feed.where(F.col("lsn") < mid),
+        app_id="patch",
+        epoch=0,
+        update_mode="patch",
+    )
+    t.merge_into(
+        feed.where(F.col("lsn") >= mid),
+        app_id="patch",
+        epoch=1,
+        update_mode="patch",
+    )
+    return t.read().select("k", "val_a", "src_b")
+
+
+O_CDC_PATCH_MERGE = """
+WITH c AS (
+  SELECT event_id % 499 AS k,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN event_type = 'error' OR event_id % 3 = 0
+              THEN NULL ELSE event_id END AS val_a,
+         CASE WHEN event_type = 'error' OR event_id % 5 = 0
+              THEN NULL ELSE event_type END AS src_b
+  FROM events
+), last_del AS (
+  SELECT k, MAX(lsn) AS dl FROM c WHERE op = 'D' GROUP BY k
+), live AS (  -- updates after the key's last delete (delete gates all)
+  SELECT c.* FROM c LEFT JOIN last_del d USING (k)
+  WHERE c.op = 'U' AND (d.dl IS NULL OR c.lsn > d.dl)
+), la AS (  -- column-wise LWW: last NON-NULL val_a
+  SELECT k, val_a FROM (
+    SELECT k, val_a, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) rn
+    FROM live WHERE val_a IS NOT NULL) WHERE rn = 1
+), lb AS (
+  SELECT k, src_b FROM (
+    SELECT k, src_b, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) rn
+    FROM live WHERE src_b IS NOT NULL) WHERE rn = 1
+)
+SELECT ks.k, la.val_a, lb.src_b
+FROM (SELECT DISTINCT k FROM live) ks
+LEFT JOIN la USING (k)
+LEFT JOIN lb USING (k)
+"""
+
+
+def q_cdc_replicate(spark, sf_dir):
+    """The CDC-out loop closed end to end, oracle-checked: replay epoch
+    0 of the derived feed into table t0, replicate it through the REAL
+    ``lake_cdf`` streaming source (``replicate_table`` = CDF stream →
+    ledgered merge, exactly-once keyed on max source version), apply
+    epoch 1 to the source, resume the SAME replication checkpoint to
+    catch up incrementally, and return the replica's final state —
+    which the oracle recomputes as full-feed LWW over t0's keys. The
+    second run proves incremental delivery (the stream resumes at the
+    checkpointed source version, not a re-copy)."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from multi_table_plugins_spark.streaming.cdf_source import (
+        replicate_table,
+    )
+
+    wh, replay_epoch1, _mid = _derived_two_epoch_replay(
+        spark, sf_dir, "mtp_replicate_"
+    )
+    root = os.path.dirname(wh)
+    src = os.path.join(wh, "t0")
+    dst = os.path.join(root, "replica_t0")
+    ck = os.path.join(root, "ck_rep")
+    q = replicate_table(spark, src, dst, ck, available_now=True)
+    q.awaitTermination(300)
+    replay_epoch1()
+    q = replicate_table(spark, src, dst, ck, available_now=True)
+    q.awaitTermination(300)
+    rep = LakeTable(spark, dst).read()
+    return rep.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+O_CDC_REPLICATE = """
+WITH c AS (
+  SELECT event_id % 997 AS k,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS source,
+         CAST(event_id % 37 + 1 AS INT) AS n,
+         CAST(event_id % 100 AS BIGINT) AS st
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn FROM c
+)
+SELECT 'd' || CAST(k AS VARCHAR) AS doc_id,
        n AS n_tok,
        source,
        CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) AS tok_sum
 FROM r
-WHERE rn = 1 AND op <> 'D'
+WHERE rn = 1 AND op <> 'D' AND k % 4 = 0
+"""
+
+
+def q_lake_file_skipping(spark, sf_dir):
+    """Manifest min/max file skipping on the read path, oracle-checked:
+    four merges of contiguous ``event_id`` ranges give every delta file
+    a narrow key interval; ``read(where=)`` must then return exactly
+    the DuckDB-filtered rows while provably reading FEWER files than
+    the table holds (``last_scan_info`` — the query RAISES if pruning
+    did not happen, so a green row certifies both the values and the
+    scale property: a key-range scan of a 100 TB table is O(matching
+    files), not O(table))."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _r(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = (hi - lo + 1) // 4
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_skip_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("etype", StringType(), True),
+            StructField("n_tok", IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(work, "t"), schema, key="id", n_buckets=4
+    )
+    base = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("event_type").alias("etype"),
+        (F.col("event_id") % 37 + 1).cast("int").alias("n_tok"),
+    )
+    for i in range(4):
+        upper = lo + (i + 1) * step if i < 3 else hi + 1
+        t.merge_into(
+            base.where(
+                (F.col("id") >= lo + i * step) & (F.col("id") < upper)
+            ),
+            app_id="skip",
+            epoch=i,
+        )
+    cut = lo + 2 * step  # same integer arithmetic as the oracle
+    out = t.read(where=[("id", ">=", cut)])
+    info = t.last_scan_info
+    if not info["files_read"] < info["files_total"]:
+        raise RuntimeError(
+            f"file skipping did not prune: read {info['files_read']} of "
+            f"{info['files_total']} files for a half-range predicate"
+        )
+    return out.select("id", "etype", "n_tok")
+
+
+O_LAKE_FILE_SKIPPING = """
+WITH b AS (
+  SELECT MIN(event_id) AS lo,
+         MIN(event_id) + 2 * ((MAX(event_id) - MIN(event_id) + 1) // 4)
+             AS cut
+  FROM events
+)
+SELECT event_id AS id,
+       event_type AS etype,
+       CAST(event_id % 37 + 1 AS INT) AS n_tok
+FROM events, b
+WHERE event_id >= b.cut
 """
 
 
@@ -2168,55 +2386,44 @@ SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= 0.5
 
 
 def q_scd2_history(spark, sf_dir):
-    # CDC → SCD2: validity intervals per business key from the change
-    # stream (one key-shuffle + per-key sorted window; no global sort)
-    from multi_table_plugins_spark.operators.scd2 import scd2_history
+    """SCD2 battery: the full validity-interval history per business key
+    (one key-shuffle + per-key sorted window; no global sort) PLUS
+    point-in-time navigation over it — ``scd2_as_of`` marks the exact
+    rows live at the probe instant (``asof_hit``), so history
+    reconstruction and as-of lookup are both oracle-checked in one
+    battery."""
+    from multi_table_plugins_spark.operators.scd2 import (
+        scd2_as_of,
+        scd2_history,
+    )
 
     ev = _r(spark, sf_dir, "events")
     hist = scd2_history(
         ev, keys=["user_id"], order_by=["ts", "event_id"], payload=["event_type", "value"]
     )
-    return hist.withColumn("value", F.round("value", 4))
+    asof = scd2_as_of(
+        hist, F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ).select("user_id", "version_num", F.lit(True).alias("asof_hit"))
+    return (
+        hist.join(asof, ["user_id", "version_num"], "left")
+        .withColumn("asof_hit", F.coalesce("asof_hit", F.lit(False)))
+        .withColumn("value", F.round("value", 4))
+    )
 
 
 O_SCD2_HISTORY = """
-SELECT user_id, event_type, ROUND(value, 4) AS value,
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_num,
+       event_type, ROUND(value, 4) AS value,
        ts AS valid_from,
-       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
-           AS version_num,
-       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current,
+       (ts <= TIMESTAMP '2024-01-15 00:00:00'
+        AND (LEAD(ts) OVER w IS NULL
+             OR LEAD(ts) OVER w > TIMESTAMP '2024-01-15 00:00:00'))
+           AS asof_hit
 FROM events
-"""
-
-
-def q_scd2_as_of(spark, sf_dir):
-    # point-in-time navigation over the SCD2 frame: exactly one version
-    # per key that has any history at or before the probe instant
-    from multi_table_plugins_spark.operators.scd2 import scd2_as_of, scd2_history
-
-    ev = _r(spark, sf_dir, "events")
-    hist = scd2_history(
-        ev, keys=["user_id"], order_by=["ts", "event_id"], payload=["event_type", "value"]
-    )
-    asof = scd2_as_of(hist, F.lit("2024-01-15 00:00:00").cast("timestamp"))
-    return asof.select(
-        "user_id", "event_type", F.round("value", 4).alias("value"), "version_num"
-    )
-
-
-O_SCD2_AS_OF = """
-WITH h AS (
-  SELECT user_id, event_type, ROUND(value, 4) AS value,
-         ts AS valid_from,
-         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
-             AS version_num
-  FROM events
-)
-SELECT user_id, event_type, value, version_num FROM h
-WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
-  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -2440,7 +2647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "ann_cosine_topk": q_ann_cosine_topk,
         "sql_statement_join": q_sql_statement_join,
-        "set_ops": q_set_ops,
         "multi_table_counts": q_multi_table_counts,
         "scalar_functions": q_scalar_functions,
         "pricing_summary": q_pricing_summary,
@@ -2456,7 +2662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_compound_pk": q_cdc_final_state_compound_pk,
         "dedup_exact_clusters": q_dedup_exact_clusters,
         "cdc_time_travel": q_cdc_time_travel,
-        "cdc_time_travel_ts": q_cdc_time_travel_ts,
+        "cdc_patch_merge": q_cdc_patch_merge,
+        "cdc_replicate": q_cdc_replicate,
+        "lake_file_skipping": q_lake_file_skipping,
         "cdc_changes_feed": q_cdc_changes_feed,
         "multi_sink_roundtrip": q_multi_sink_roundtrip,
         "schema_probe": q_schema_probe,
@@ -2466,7 +2674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "dataset_split": q_dataset_split,
         "scd2_history": q_scd2_history,
-        "scd2_as_of": q_scd2_as_of,
         "sequence_pack": q_sequence_pack,
         "stratified_sample": q_stratified_sample,
         "contamination_overlap": q_contamination_overlap,
@@ -2495,7 +2702,6 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": O_TOP_TOKENS,
         "ann_cosine_topk": O_ANN_TOPK,
         "sql_statement_join": O_SQL_STATEMENT,
-        "set_ops": O_SET_OPS,
         "multi_table_counts": O_MULTI_TABLE_COUNTS,
         "scalar_functions": O_SCALAR_FUNCTIONS,
         "pricing_summary": O_PRICING,
@@ -2511,7 +2717,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _o_simhash_signatures(),
         "embedding_near_dup": _o_embedding_near_dup(),
         "cdc_time_travel": O_CDC_TIME_TRAVEL,
-        "cdc_time_travel_ts": O_CDC_TIME_TRAVEL,
+        "cdc_patch_merge": O_CDC_PATCH_MERGE,
+        "cdc_replicate": O_CDC_REPLICATE,
+        "lake_file_skipping": O_LAKE_FILE_SKIPPING,
         "cdc_changes_feed": O_CDC_CHANGES_FEED,
         "multi_sink_roundtrip": O_MULTI_SINK_ROUNDTRIP,
         "schema_probe": O_SCHEMA_PROBE,
@@ -2521,7 +2729,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": O_SESSIONIZATION,
         "dataset_split": _o_dataset_split(),
         "scd2_history": O_SCD2_HISTORY,
-        "scd2_as_of": O_SCD2_AS_OF,
         "sequence_pack": O_SEQUENCE_PACK,
         "stratified_sample": O_STRATIFIED_SAMPLE,
         "contamination_overlap": O_CONTAMINATION,

@@ -8,10 +8,12 @@ Commands
 --------
 tables
     List every table with version, live-row/file counts, and size.
-compact [--tables a,b] [--minor]
+compact [--tables a,b] [--minor] [--cluster [--files-per-bucket N]]
     Fold delta files into the base (major), or delta-merge only
     (--minor) — bucket-bounded rewrites, never O(table) unless every
-    bucket carries deltas.
+    bucket carries deltas. --cluster range-sorts each rewritten bucket
+    base on the key into N files so manifest min/max skipping prunes
+    INSIDE buckets (sort-order rewrite / ZORDER analog).
 expire-snapshots --keep-last N [--remove-orphans] [--tables a,b]
     Drop old manifests + the files only they referenced; optionally
     sweep stale crashed-writer orphans (Iceberg expire/remove-orphans
@@ -21,6 +23,10 @@ vacuum-tombstones --lsn-watermark W [--tables a,b]
 replicate --src T --dst-path P --checkpoint C [--continuous]
     Incremental-refresh a replica of one table through the streaming
     change feed (exactly-once; see streaming.cdf_source.replicate_table).
+refresh-rollup --src T --view-path P --group-by g1,g2 [--sum c1,c2]
+    Create or incrementally refresh a materialized GROUP BY view
+    (sum_<col> + row_count per group) — O(changes) per refresh via the
+    change feed's old/new values (see lakehouse.rollup.refresh_rollup).
 
 All commands route driver-side IO through the FileIO seam
 (--fileio local|generic, default $MTP_FILEIO).
@@ -69,6 +75,10 @@ def main() -> None:
     common(sp)
     sp.add_argument("--minor", action="store_true",
                     help="delta-merge only (leave the base untouched)")
+    sp.add_argument("--cluster", action="store_true",
+                    help="range-cluster each bucket base on the key so "
+                         "min/max file skipping prunes inside buckets")
+    sp.add_argument("--files-per-bucket", type=int, default=4)
     sp = sub.add_parser("expire-snapshots", help="drop old manifests + files")
     common(sp)
     sp.add_argument("--keep-last", type=int, required=True)
@@ -82,6 +92,18 @@ def main() -> None:
     sp.add_argument("--dst-path", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--continuous", action="store_true")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
+        "refresh-rollup",
+        help="create/refresh an incremental GROUP BY view of one table",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="source table name")
+    sp.add_argument("--view-path", required=True)
+    sp.add_argument("--group-by", required=True, help="comma list")
+    sp.add_argument("--sum", default="", dest="sum_cols",
+                    help="comma list of numeric columns to sum")
+    sp.add_argument("--n-buckets", type=int, default=32)
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
 
     a = p.parse_args()
@@ -108,6 +130,18 @@ def main() -> None:
         out["tables"][a.src] = {
             "replica_rows": LakeTable(spark, a.dst_path, io=io).read().count()
         }
+    elif a.cmd == "refresh-rollup":
+        from multi_table_plugins_spark.lakehouse.rollup import refresh_rollup
+
+        out["tables"][a.src] = refresh_rollup(
+            spark,
+            os.path.join(a.warehouse, a.src),
+            a.view_path,
+            group_cols=[c.strip() for c in a.group_by.split(",") if c.strip()],
+            sum_cols=[c.strip() for c in a.sum_cols.split(",") if c.strip()],
+            io=io,
+            n_buckets=a.n_buckets,
+        )
     else:
         only = [t.strip() for t in a.tables.split(",") if t.strip()]
         for t in _tables_of(a.warehouse, io, only):
@@ -131,9 +165,13 @@ def main() -> None:
                     "rows": lt.count(),
                 }
             elif a.cmd == "compact":
-                out["tables"][t] = (
-                    lt.compact_deltas() if a.minor else lt.compact()
-                )
+                if a.minor:
+                    out["tables"][t] = lt.compact_deltas()
+                else:
+                    out["tables"][t] = lt.compact(
+                        cluster=a.cluster,
+                        files_per_bucket=a.files_per_bucket,
+                    )
             elif a.cmd == "expire-snapshots":
                 out["tables"][t] = lt.expire_snapshots(
                     keep_last=a.keep_last, remove_orphans=a.remove_orphans

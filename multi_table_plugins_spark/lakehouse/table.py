@@ -250,6 +250,127 @@ def _prune_value(v, dtype, session_tz_is_utc: bool):
 #: silently lose rows to a representation change)
 _STATS_V = 2
 
+# ---------------------------------------------------------------------------
+# per-file key bloom filters (point-lookup skipping)
+#
+# Min/max stats cannot prune point lookups inside a bucket when delta
+# files hold RANDOM key batches (every file's [min, max] spans the whole
+# domain — the normal CDC shape). A tiny per-file bloom over the key
+# tuple closes that gap: lookup() skips any file whose bloom
+# definitively excludes the probe key. Build is DISTRIBUTED — one extra
+# Spark job per delta commit reads back the just-written files' key
+# columns (page-cache hot) and aggregates ≤ _BLOOM_M set bit positions
+# per file via input_file_name(); the driver only packs bitsets, never
+# reads data columns. False positives merely read a file; false
+# negatives are impossible as long as probe- and build-side key
+# normalization agree EXACTLY — both sides reduce each key column to a
+# canonical string (below) and hash with md5, double-hashed into
+# _BLOOM_K positions mod _BLOOM_M.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits (1 KiB) — ~1% fp at ~850 keys/file, 4 hashes
+_BLOOM_K = 4
+_BLOOM_V = 1
+
+
+def _bloom_col_expr(col: str, dtype):
+    """Spark expression producing the canonical key string for ``col``,
+    or None if the type is not bloom-able (float/decimal/complex). MUST
+    stay in lockstep with the probe-side ``_bloom_norm_value``."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    c = F.col(col)
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return c.cast("long").cast("string")
+    if isinstance(dtype, StringType):
+        return c
+    if isinstance(dtype, BooleanType):
+        return c.cast("int").cast("string")
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(c).cast("string")
+    return None
+
+
+def _bloom_norm_value(v, dtype) -> "str | None":
+    """Probe-side canonical key string for a Python probe value against
+    a column typed ``dtype`` — the exact mirror of ``_bloom_col_expr``;
+    None disables the bloom probe (min/max pruning still applies)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        return str(v)
+    if isinstance(dtype, StringType):
+        return v if isinstance(v, str) else None
+    if isinstance(dtype, BooleanType):
+        return str(int(v)) if isinstance(v, bool) else None
+    if isinstance(dtype, TimestampType):
+        if isinstance(v, _dt.datetime):
+            return str(_stat_value(v))  # epoch µs, tz-normalized
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):  # epoch seconds (the lookup cast contract)
+            return str(v * 1_000_000)
+        return None
+    return None
+
+
+def _bloom_positions(canon: str) -> "list[int]":
+    """The _BLOOM_K bit positions for a canonical key string (classic
+    double hashing h1 + i*h2 over the md5 digest)."""
+    import hashlib
+
+    h = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    h1 = int(h[:12], 16)
+    h2 = int(h[12:24], 16) | 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _bloom_pack(positions: "list[int]") -> str:
+    """Bit positions → base64 bitset (little-endian within bytes)."""
+    import base64
+
+    buf = bytearray(_BLOOM_M // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_might_contain(entry: dict, positions: "list[int]") -> bool:
+    """Could this file entry's bloom contain the key? Conservatively
+    True for absent/unknown-version/garbled blooms."""
+    import base64
+
+    b = entry.get("bloom")
+    if not b or b.get("v") != _BLOOM_V or b.get("m") != _BLOOM_M:
+        return True
+    try:
+        buf = base64.b64decode(b["b64"])
+    except Exception:
+        return True
+    if len(buf) != _BLOOM_M // 8:
+        return True
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+
 
 def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
     """Can this file entry possibly contain a row satisfying every
@@ -327,6 +448,7 @@ class LakeTable:
         mode: str = "mor",
         compact_threshold: int = 8,
         minor_compact_threshold: int | None = None,
+        bloom_filters: bool = False,
         io: FileIO | None = None,
     ) -> "LakeTable":
         """Create an empty table (atomic; fails if it already exists).
@@ -340,7 +462,14 @@ class LakeTable:
         on the two-tier compaction ladder: a bucket whose delta count
         reaches it gets a MINOR delta-merge (O(recent batches)); only at
         ``compact_threshold`` does the MAJOR base fold run — bounding
-        read fan-in without O(bucket) rewrites every few batches."""
+        read fan-in without O(bucket) rewrites every few batches.
+
+        ``bloom_filters=True`` attaches a 1 KiB key bloom to every
+        delta file entry (built by one extra distributed job per
+        commit): point lookups then skip delta files whose bloom
+        excludes the probe key — the pruning min/max stats cannot give
+        when delta files hold random key batches. Opt-in because it
+        adds a per-commit job and ~1.4 KB of manifest per delta file."""
         io = get_fileio(io)
         if isinstance(key, (list, tuple)):
             if not key:
@@ -379,6 +508,7 @@ class LakeTable:
             "mode": mode,
             "compact_threshold": compact_threshold,
             "minor_compact_threshold": minor_compact_threshold,
+            "bloom_filters": bool(bloom_filters),
             "current_schema_version": 1,
             "schemas": {"1": schema.json()},
             # bucket (str) -> {"base": [file entries], "delta": [file entries]}
@@ -723,7 +853,12 @@ class LakeTable:
         drop = [DELETED_COL] if with_lsn else list(BOOKKEEPING_COLS)
         return df.drop(*drop)
 
-    def table_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def table_changes(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        include_old: bool = False,
+    ) -> DataFrame:
         """Change data feed: the NET per-key changes between snapshot
         ``v_from`` and ``v_to`` (default: current) — CDC *out* of the
         lakehouse, the Iceberg incremental-read / Delta CDF analog.
@@ -736,6 +871,13 @@ class LakeTable:
         replay) or that goes dead→dead produces NO row — the feed is
         exactly "what a downstream copy must apply to get from v_from's
         state to v_to's".
+
+        ``include_old=True`` additionally emits ``old_<col>`` for every
+        payload column — the key's live value at ``v_from`` (NULL for
+        inserts) — plus ``old_lsn``. The old state is already joined to
+        classify changes, so this costs nothing extra; it is what
+        differential consumers (incremental aggregate maintenance:
+        apply +new −old per group) need that a plain net feed lacks.
 
         Scale shape — never O(table): the changed rows come from ONLY
         the delta files added by commits in ``(v_from, v_to]``
@@ -804,6 +946,13 @@ class LakeTable:
             if f.name in payload:
                 out_fields = out_fields.add(f.name, f.dataType, True)
         out_fields = out_fields.add("change_lsn", LongType(), False)
+        if include_old:
+            for f in target.fields:
+                if f.name in payload:
+                    out_fields = out_fields.add(
+                        f"old_{f.name}", f.dataType, True
+                    )
+            out_fields = out_fields.add("old_lsn", LongType(), True)
         empty = self.spark.createDataFrame([], out_fields)
         if not added:
             empty._mtp_cdf_info = {
@@ -878,6 +1027,12 @@ class LakeTable:
                 .alias(p)
             )
         cols.append(F.col("_c_lsn").alias("change_lsn"))
+        if include_old:
+            for p in payload:
+                cols.append(
+                    F.when(old_live, F.col(f"_o_{p}")).alias(f"old_{p}")
+                )
+            cols.append(F.when(old_live, F.col("_o_lsn")).alias("old_lsn"))
         res = out.select(*cols)
         res._mtp_cdf_info = {
             "delta_files_read": len(added),
@@ -936,6 +1091,19 @@ class LakeTable:
         n_total = len(entries)
         if preds:
             entries = [e for e in entries if _entry_matches(e, preds)]
+        # third pruning stage: per-file key blooms (attached when the
+        # table was created with bloom_filters=True) — skips delta
+        # files whose bloom definitively excludes the probe key, the
+        # case min/max cannot prune when files hold random key batches
+        canon_parts = [
+            _bloom_norm_value(v, schema[k].dataType)
+            for k, v in zip(keys, values)
+        ]
+        if all(p is not None for p in canon_parts):
+            positions = _bloom_positions("\x1f".join(canon_parts))
+            entries = [
+                e for e in entries if _bloom_might_contain(e, positions)
+            ]
         self.last_scan_info = {
             "files_total": n_total,
             "files_read": len(entries),
@@ -1100,18 +1268,32 @@ class LakeTable:
     # write path
     # ------------------------------------------------------------------
     def _write_data_files(
-        self, df: DataFrame, version: int, tag: str
+        self, df: DataFrame, version: int, tag: str, cluster_files: int = 0
     ) -> dict[str, list[dict]]:
         """Write ``df`` (already bucketed via ``_bucket`` col) under
-        ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}."""
+        ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}.
+
+        ``cluster_files`` > 0 range-clusters the write: rows are
+        range-partitioned on (bucket, key) into ~``cluster_files``
+        output files and sorted within each, so every file covers a
+        NARROW key interval and the manifest min/max stats prune
+        in-bucket range scans and point lookups — the Z-order-lite that
+        makes file skipping effective on compacted bases (an unclustered
+        bucket base is one file spanning the bucket's whole key range,
+        which no interval predicate can ever skip)."""
         # uuid suffix: a crash between data write and manifest publish
         # must not poison the version-derived path on replay, and two
         # concurrent writers must never collide on a directory
         rel = f"{DATA_DIR}/v{version:08d}-{tag}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
-        w = df.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.partitionBy(
-            _BUCKET_COL
-        )
+        if cluster_files > 0:
+            keys = [F.col(k) for k in self.key_cols]
+            shaped = df.repartitionByRange(
+                cluster_files, F.col(_BUCKET_COL), *keys
+            ).sortWithinPartitions(_BUCKET_COL, *self.key_cols)
+        else:
+            shaped = df.repartition(self.n_buckets, F.col(_BUCKET_COL))
+        w = shaped.write.partitionBy(_BUCKET_COL)
         if tag == "delta":
             w = w.options(**DELTA_WRITE_OPTS)
         w.mode("error").parquet(out)
@@ -1143,7 +1325,69 @@ class LakeTable:
                     entry["stats"] = stats
                     entry["stats_v"] = _STATS_V
                 entries.setdefault(bucket, []).append(entry)
+        if tag == "delta" and m.get("bloom_filters") and entries:
+            self._attach_blooms(out, entries)
         return entries
+
+    def _attach_blooms(
+        self, out_dir: str, entries: dict[str, list[dict]]
+    ) -> None:
+        """Attach a per-file key bloom to every just-written delta
+        entry. DISTRIBUTED: one Spark job reads back the written files'
+        key columns (page-cache hot) and aggregates the set bit
+        positions per file (``input_file_name`` + ``collect_set``, ≤
+        ``_BLOOM_M`` ints per file — a bounded driver transfer); the
+        driver only packs bitsets. Tables whose key types are not
+        bloom-able (float/decimal/complex) silently skip — entries
+        without a bloom are conservatively read."""
+        schema = self.schema()
+        exprs = []
+        for k in self.key_cols:
+            e = _bloom_col_expr(k, schema[k].dataType)
+            if e is None:
+                return
+            exprs.append(e)
+        canon = exprs[0] if len(exprs) == 1 else F.concat_ws("\x1f", *exprs)
+        h = F.md5(canon)
+        h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+        h2 = (
+            F.conv(F.substring(h, 13, 12), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+        )
+        pos = F.array(
+            *[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_M)).cast("int")
+                for i in range(_BLOOM_K)
+            ]
+        )
+        per_file = (
+            self.spark.read.parquet(out_dir)
+            .select(F.input_file_name().alias("_f"), F.explode(pos).alias("_p"))
+            .distinct()
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        by_name: dict[tuple, list[int]] = {}
+        for r in per_file:
+            parts = r["_f"].split("/")
+            bucket = next(
+                p.split("=", 1)[1]
+                for p in parts
+                if p.startswith(f"{_BUCKET_COL}=")
+            )
+            by_name[(bucket, parts[-1])] = r["_ps"]
+        for bucket, es in entries.items():
+            for e in es:
+                ps = by_name.get((bucket, os.path.basename(e["path"])))
+                if ps is not None:
+                    e["bloom"] = {
+                        "v": _BLOOM_V,
+                        "m": _BLOOM_M,
+                        "k": _BLOOM_K,
+                        "b64": _bloom_pack(ps),
+                    }
 
     def _bucket_expr(self):
         # murmur3 over the key tuple, in manifest order — multi_merge's
@@ -1602,15 +1846,43 @@ class LakeTable:
         self._publish(m)
         return {"minor_compacted_buckets": sorted(buckets, key=int)}
 
-    def compact(self, buckets: list[str] | None = None) -> dict:
+    def compact(
+        self,
+        buckets: list[str] | None = None,
+        cluster: bool = False,
+        files_per_bucket: int = 4,
+    ) -> dict:
         """Fold delta files into the base for ``buckets`` (default: all
         buckets that have deltas). Base keeps tombstones so late lower-LSN
         updates can never resurrect deleted keys; ``vacuum_tombstones``
-        drops them once the feed's low-water mark passes."""
+        drops them once the feed's low-water mark passes.
+
+        ``cluster=True`` additionally range-clusters each rewritten
+        bucket base on the key into ~``files_per_bucket`` files per
+        bucket (sorted within each): keys hash uniformly across buckets,
+        so an UNclustered bucket base is one file spanning the whole key
+        domain and min/max skipping can never prune it — clustered, a
+        key-range scan or point lookup reads only the files whose
+        narrow interval intersects (Iceberg's sort-order rewrite /
+        Delta OPTIMIZE ZORDER analog, for the single-key case)."""
         m = json.loads(json.dumps(self.manifest()))
         if buckets is None:
-            buckets = [b for b, v in m["buckets"].items() if v.get("delta")]
-        buckets = [b for b in buckets if m["buckets"].get(b, {}).get("delta")]
+            if cluster:
+                # a clustering rewrite is worthwhile even for buckets
+                # with no deltas (it reshapes the base itself)
+                buckets = [
+                    b
+                    for b, v in m["buckets"].items()
+                    if v.get("delta") or v.get("base")
+                ]
+            else:
+                buckets = [b for b, v in m["buckets"].items() if v.get("delta")]
+        keep = (
+            (lambda b: b.get("delta") or b.get("base"))
+            if cluster
+            else (lambda b: b.get("delta"))
+        )
+        buckets = [b for b in buckets if keep(m["buckets"].get(b, {}))]
         if not buckets:
             return {"compacted_buckets": []}
         target = self._internal_schema(self.schema())
@@ -1622,7 +1894,12 @@ class LakeTable:
         resolved = self._lww_resolve(df, target).withColumn(
             _BUCKET_COL, self._bucket_expr()
         )
-        new_entries = self._write_data_files(resolved, m["version"] + 1, "base")
+        new_entries = self._write_data_files(
+            resolved,
+            m["version"] + 1,
+            "base",
+            cluster_files=len(buckets) * files_per_bucket if cluster else 0,
+        )
         stray = set(new_entries) - set(buckets)
         if stray:
             # rows re-bucketed outside the buckets being compacted means

@@ -1,0 +1,292 @@
+"""Round-5 read-path pruning upgrades:
+
+  * ``compact(cluster=True)`` — range-clusters each bucket base on the
+    key so per-file min/max stats prune INSIDE buckets (an unclustered
+    bucket base is one file spanning the whole key domain: no interval
+    predicate can ever skip it);
+  * ``create(bloom_filters=True)`` — per-delta-file key blooms built by
+    a distributed job at commit time; ``lookup()`` skips files whose
+    bloom excludes the probe key (the case min/max cannot prune when
+    delta files hold random key batches).
+
+Soundness: pruned results must equal unpruned ones exactly; absent
+blooms / non-bloom-able key types are conservatively read.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from multi_table_plugins_spark.lakehouse import LakeTable
+from multi_table_plugins_spark.lakehouse.table import (
+    _bloom_might_contain,
+    _bloom_norm_value,
+    _bloom_positions,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("source", StringType(), True),
+    ]
+)
+CH = StructType(
+    [
+        StructField("lsn", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, CH)
+
+
+# ---------------------------------------------------------------------------
+# clustered compaction
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_compaction_prunes_in_bucket_ranges(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    t.merge_into(
+        _batch(spark, [(i, "I", i, [i], "s") for i in range(400)]),
+        app_id="c",
+        epoch=0,
+    )
+    t.compact(cluster=True, files_per_bucket=4)
+    m = t.manifest()
+    files = sum(len(b["base"]) for b in m["buckets"].values())
+    assert files > 4  # multiple range files per bucket
+    full = {r["doc_id"] for r in t.read().collect()}
+    got = {
+        r["doc_id"]
+        for r in t.read(where=[("doc_id", ">=", 300)]).collect()
+    }
+    assert got == {i for i in full if i >= 300} and len(got) == 100
+    info = t.last_scan_info
+    assert info["files_read"] < info["files_total"], info
+
+
+def test_unclustered_compaction_cannot_prune_in_bucket(spark, tmp_path):
+    """Control: without clustering, each bucket base is one wide file —
+    the same range predicate reads every file."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    t.merge_into(
+        _batch(spark, [(i, "I", i, [i], "s") for i in range(400)]),
+        app_id="c",
+        epoch=0,
+    )
+    t.compact()
+    t.read(where=[("doc_id", ">=", 300)]).collect()
+    info = t.last_scan_info
+    assert info["files_read"] == info["files_total"]
+
+
+def test_clustered_state_identical_and_updates_survive(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2
+    )
+    t.merge_into(
+        _batch(spark, [(i, "I", i, [i], "s") for i in range(100)]),
+        app_id="c",
+        epoch=0,
+    )
+    t.merge_into(
+        _batch(
+            spark,
+            [(1000 + k, "U", k, [k, k], "s2") for k in range(10)]
+            + [(2000 + k, "D", 50 + k, None, None) for k in range(5)],
+        ),
+        app_id="c",
+        epoch=1,
+    )
+    before = {
+        r["doc_id"]: (r["tokens"], r["source"]) for r in t.read().collect()
+    }
+    t.compact(cluster=True, files_per_bucket=3)
+    after = {
+        r["doc_id"]: (r["tokens"], r["source"]) for r in t.read().collect()
+    }
+    assert after == before
+    # lookup of an updated key through the clustered base
+    got = t.lookup(3).collect()
+    assert len(got) == 1 and got[0]["tokens"] == [3, 3]
+    assert t.last_scan_info["files_read"] < t.last_scan_info["files_total"]
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter point-lookup skipping
+# ---------------------------------------------------------------------------
+
+
+def _interleaved_table(spark, tmp_path, **kw):
+    """Four delta batches whose key sets interleave across the whole
+    domain — every file's [min, max] spans ~everything, so min/max
+    pruning is useless and only the bloom can skip."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "b"),
+        SCHEMA,
+        key="doc_id",
+        n_buckets=1,
+        compact_threshold=100,
+        **kw,
+    )
+    for i in range(4):
+        rows = [
+            (1000 * i + k, "I", k * 4 + i, [i], f"b{i}")
+            for k in range(0, 100)
+        ]
+        t.merge_into(_batch(spark, rows), app_id="bl", epoch=i)
+    return t
+
+
+def test_bloom_prunes_point_lookups(spark, tmp_path):
+    t = _interleaved_table(spark, tmp_path, bloom_filters=True)
+    m = t.manifest()
+    entries = [e for b in m["buckets"].values() for e in b.get("delta", [])]
+    assert entries and all("bloom" in e for e in entries)
+    # key 41 = 10*4 + 1 lives only in batch 1's file
+    got = t.lookup(41).collect()
+    assert len(got) == 1 and got[0]["source"] == "b1"
+    info = t.last_scan_info
+    assert info["files_read"] < info["files_total"], info
+    # absent key: blooms should exclude (almost) every file
+    assert t.lookup(999_999).count() == 0
+    assert t.last_scan_info["files_read"] <= 1  # fp-tolerant bound
+
+
+def test_bloom_survives_minor_compaction(spark, tmp_path):
+    t = _interleaved_table(spark, tmp_path, bloom_filters=True)
+    t.compact_deltas()
+    m = t.manifest()
+    entries = [e for b in m["buckets"].values() for e in b.get("delta", [])]
+    assert entries and all("bloom" in e for e in entries)
+    got = t.lookup(42).collect()
+    assert len(got) == 1 and got[0]["source"] == "b2"
+
+
+def test_without_bloom_option_no_blooms_and_no_pruning_loss(spark, tmp_path):
+    t = _interleaved_table(spark, tmp_path)
+    m = t.manifest()
+    entries = [e for b in m["buckets"].values() for e in b.get("delta", [])]
+    assert entries and not any("bloom" in e for e in entries)
+    assert t.lookup(41).count() == 1
+    info = t.last_scan_info
+    assert info["files_read"] == info["files_total"]  # conservatively read
+
+
+def test_bloom_compound_and_string_keys(spark, tmp_path):
+    sch = StructType(
+        [
+            StructField("a", StringType(), False),
+            StructField("b", LongType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("a", StringType(), False),
+            StructField("b", LongType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ck"),
+        sch,
+        key=["a", "b"],
+        n_buckets=1,
+        bloom_filters=True,
+        compact_threshold=100,
+    )
+    for i in range(3):
+        rows = [(100 * i + k, "I", f"k{k}", 10 * i + k, k) for k in range(20)]
+        t.merge_into(spark.createDataFrame(rows, ch), app_id="ck", epoch=i)
+    got = t.lookup(("k7", 17)).collect()  # batch 1 only
+    assert len(got) == 1 and got[0]["v"] == 7
+    assert t.last_scan_info["files_read"] < t.last_scan_info["files_total"]
+
+
+def test_bloom_timestamp_key_probe_both_forms(spark, tmp_path):
+    sch = StructType(
+        [
+            StructField("ts", TimestampType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("ts", TimestampType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ts"),
+        sch,
+        key="ts",
+        n_buckets=1,
+        bloom_filters=True,
+        compact_threshold=100,
+    )
+    base = dt.datetime(2021, 6, 1)
+    for i in range(3):
+        rows = [
+            (100 * i + k, "I", base + dt.timedelta(hours=k * 3 + i), k)
+            for k in range(20)
+        ]
+        t.merge_into(spark.createDataFrame(rows, ch), app_id="ts", epoch=i)
+    probe_dt = base + dt.timedelta(hours=5 * 3 + 1)  # batch 1, k=5
+    got = t.lookup(probe_dt).collect()
+    assert len(got) == 1 and got[0]["v"] == 5
+    assert t.last_scan_info["files_read"] < t.last_scan_info["files_total"]
+    # the epoch-seconds int form probes the same row (lookup's cast
+    # contract) and must agree with the bloom normalization
+    got2 = t.lookup(int(probe_dt.timestamp())).collect()
+    assert len(got2) == 1 and got2[0]["v"] == 5
+
+
+def test_bloom_normalization_unit():
+    assert _bloom_norm_value(5, LongType()) == "5"
+    assert _bloom_norm_value(True, LongType()) is None
+    assert _bloom_norm_value("x", StringType()) == "x"
+    assert _bloom_norm_value(
+        dt.datetime(1970, 1, 1, 0, 0, 1), TimestampType()
+    ) == "1000000"
+    assert _bloom_norm_value(1, TimestampType()) == "1000000"
+    # probe positions round-trip through the packed bitset
+    pos = _bloom_positions("k7\x1f17")
+    from multi_table_plugins_spark.lakehouse.table import _bloom_pack
+
+    entry = {"bloom": {"v": 1, "m": 8192, "k": 4, "b64": _bloom_pack(pos)}}
+    assert _bloom_might_contain(entry, pos)
+    # a different key whose positions are not a subset must miss
+    other = _bloom_positions("k7\x1f18")
+    if not set(other) <= set(pos):
+        assert not _bloom_might_contain(entry, other)
+    # absent / versionless blooms are conservatively kept
+    assert _bloom_might_contain({}, pos)
+    assert _bloom_might_contain({"bloom": {"v": 99}}, pos)

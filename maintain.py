@@ -107,6 +107,11 @@ def main() -> None:
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
 
     a = p.parse_args()
+    if a.cmd == "compact" and a.minor and a.cluster:
+        p.error(
+            "--cluster requires a major compaction (it rewrites bucket "
+            "bases); drop --minor"
+        )
     from multi_table_plugins_spark.lakehouse import LakeTable
     from multi_table_plugins_spark.lakehouse.fileio import get_fileio
 

@@ -137,15 +137,27 @@ def refresh_rollup(
 
     ch = src.table_changes(v_from, v_to, include_old=True)
     sum_types = {c: _sum_type(src_schema[c].dataType) for c in sum_cols}
+    src_keys = set(src.key_cols)
+
+    def _old_col(c: str):
+        # the change feed emits old_<col> for PAYLOAD columns only; a
+        # KEY column is immutable per key, so its old value IS the new
+        # value (grouping or summing by the source key is legal)
+        return F.col(c) if c in src_keys else F.col(f"old_{c}")
 
     def _signed(side: str, sign: int, live) -> DataFrame:
-        prefix = "" if side == "new" else "old_"
-        cols = [F.col(f"{prefix}{g}").alias(g) for g in group_cols]
+        new_side = side == "new"
+        cols = [
+            (F.col(g) if new_side else _old_col(g)).alias(g)
+            for g in group_cols
+        ]
         for c in sum_cols:
             cols.append(
                 (
                     F.coalesce(
-                        F.col(f"{prefix}{c}").cast(sum_types[c]),
+                        (F.col(c) if new_side else _old_col(c)).cast(
+                            sum_types[c]
+                        ),
                         F.lit(0).cast(sum_types[c]),
                     )
                     * sign
@@ -157,10 +169,14 @@ def refresh_rollup(
     contrib = _signed("new", 1, F.col("change_type") != "delete").unionByName(
         _signed("old", -1, F.col("old_lsn").isNotNull())
     )
+    # persist: the delta aggregate (one small row per touched group) is
+    # consumed three times — bucket discovery, the current-state join,
+    # and the merge's write job; without the barrier each would re-read
+    # the change range's delta files and re-run the old-state join
     deltas = contrib.groupBy(*group_cols).agg(
         *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in sum_cols],
         F.sum("d_cnt").alias("d_cnt"),
-    )
+    ).persist()
 
     # bounded read-modify-write: current view rows of ONLY the buckets
     # the touched groups hash into (tombstoned groups count as absent)
@@ -169,14 +185,24 @@ def refresh_rollup(
     if cur is not None:
         live_cur = F.coalesce(F.col(DELETED_COL), F.lit(False)) == False  # noqa: E712
         cur = cur.select(
-            *group_cols,
+            *[F.col(g).alias(f"_cur_{g}") for g in group_cols],
             *[
                 F.when(live_cur, F.col(f"sum_{c}")).alias(f"c_sum_{c}")
                 for c in sum_cols
             ],
             F.when(live_cur, F.col(ROW_COUNT_COL)).alias("c_cnt"),
         )
-        j = deltas.join(cur, on=list(group_cols), how="left")
+        # null-SAFE equality: SQL GROUP BY collects NULL group values
+        # into one group, so the join back must match them too — a
+        # plain equality join would never match the stored NULL-group
+        # row and silently reset its aggregates to the delta
+        cond = None
+        for g in group_cols:
+            c = deltas[g].eqNullSafe(cur[f"_cur_{g}"])
+            cond = c if cond is None else cond & c
+        j = deltas.join(cur, cond, "left").drop(
+            *[f"_cur_{g}" for g in group_cols]
+        )
     else:
         j = deltas
         for c in sum_cols:
@@ -206,14 +232,28 @@ def refresh_rollup(
 
     obs = Observation()
     batch = batch.observe(obs, F.count(F.lit(1)).alias("groups"))
-    res = view.merge_into(batch, app_id=app_id, epoch=v_to)
-    return {
-        "refreshed": not res.get("skipped", False),
-        "v_from": v_from,
-        "v_to": v_to,
-        "groups_changed": int(obs.get.get("groups", 0) or 0),
-        "snapshot_id": res.get("snapshot_id"),
-    }
+    try:
+        res = view.merge_into(batch, app_id=app_id, epoch=v_to)
+        if res.get("skipped"):
+            # a concurrent refresher beat us to this source version; no
+            # action ran on the observed batch, so obs.get would block
+            # forever — return the no-op without touching it
+            return {
+                "refreshed": False,
+                "v_from": v_from,
+                "v_to": v_to,
+                "groups_changed": 0,
+                "snapshot_id": res.get("snapshot_id"),
+            }
+        return {
+            "refreshed": True,
+            "v_from": v_from,
+            "v_to": v_to,
+            "groups_changed": int(obs.get.get("groups", 0) or 0),
+            "snapshot_id": res.get("snapshot_id"),
+        }
+    finally:
+        deltas.unpersist()
 
 
 def rollup_read(spark: SparkSession, view_path: str, io=None) -> DataFrame:

@@ -99,6 +99,15 @@ _STATS_MAX_STR = 256
 _EPOCH_ORDINAL = 719163  # datetime.date(1970, 1, 1).toordinal()
 
 
+def _integral_types():
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return (ByteType, ShortType, IntegerType, LongType)
+
+
+_INTEGRAL_TYPES = _integral_types()
+
+
 def _stat_value(v):
     """Normalize a parquet-footer statistics value to a JSON-safe,
     totally-ordered representation: timestamps AND dates → epoch µs int
@@ -117,9 +126,12 @@ def _stat_value(v):
         # the naive-UTC footer stats and false-prune files
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return int(
-            (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
-        )
+        # exact integer µs — total_seconds() round-trips through a
+        # float and is off by 1 µs past ~2038 (2^53 µs), which would
+        # desync these values from Spark's exact unix_micros and turn
+        # bloom probes into false negatives / stats into false prunes
+        td = v - _dt.datetime(1970, 1, 1)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
     if isinstance(v, _dt.date):
         return (v.toordinal() - _EPOCH_ORDINAL) * 86_400_000_000
     if isinstance(v, int):
@@ -232,11 +244,23 @@ def _prune_value(v, dtype, session_tz_is_utc: bool):
         if isinstance(v, float) and v != v:
             return None  # NaN probe
         if temporal_col:
-            # only TIMESTAMP accepts a numeric cast (epoch seconds)
+            # only TIMESTAMP accepts a numeric cast (epoch seconds);
+            # fractional-second floats don't prune — Spark's µs
+            # rounding at the cast could land on either side of a
+            # float bound and false-prune an exact-equality file
             if not isinstance(dtype, TimestampType):
                 return None
-            return v * 1_000_000 if isinstance(v, int) else v * 1e6
-        return v if isinstance(dtype, NumericType) else None
+            if isinstance(v, float):
+                return v * 1e6 if v.is_integer() else None
+            return v * 1_000_000
+        if not isinstance(dtype, NumericType):
+            return None
+        if isinstance(v, float) and isinstance(dtype, _INTEGRAL_TYPES):
+            # an int column compared to a fractional float behaves
+            # differently per op (and lookup CASTS the probe) — only
+            # integral-valued floats prune soundly for every op
+            return int(v) if v.is_integer() else None
+        return v
     if isinstance(v, str):
         if not isinstance(dtype, StringType):
             return None
@@ -488,10 +512,13 @@ class LakeTable:
                 f"key column(s) {missing} not in table schema "
                 f"{schema.fieldNames()}"
             )
-        reserved = set(BOOKKEEPING_COLS) & set(schema.fieldNames())
+        reserved = (set(BOOKKEEPING_COLS) | {_BUCKET_COL}) & set(
+            schema.fieldNames()
+        )
         if reserved:
-            # _internal_schema appends these; a same-named payload column
-            # would produce duplicate fields and mis-bound reads
+            # _internal_schema appends _lsn/_deleted and the write path
+            # overwrites _bucket; a same-named payload column would be
+            # silently replaced / mis-bound on read
             raise ValueError(
                 f"column(s) {sorted(reserved)} are reserved for "
                 "bookkeeping and cannot appear in a table schema"
@@ -1065,6 +1092,21 @@ class LakeTable:
                 f"got {len(values)}"
             )
         schema = self.schema()
+        # mirror Spark's literal cast up front: a float probe on an
+        # integral key truncates toward zero (Spark double→long), so
+        # stats pruning and the bloom probe target the SAME key the
+        # bucket hash and row filter will match
+        values = [
+            int(v)
+            if (
+                isinstance(schema[k].dataType, _INTEGRAL_TYPES)
+                and isinstance(v, float)
+                and v == v
+                and abs(v) != float("inf")
+            )
+            else v
+            for k, v in zip(keys, values)
+        ]
         # cast each literal to its key COLUMN's type first: murmur3
         # hashes int32 and int64 (etc.) differently, so an untyped
         # literal would silently pick the wrong bucket for non-string keys
@@ -1533,7 +1575,9 @@ class LakeTable:
         version race (CommitConflict) reloads the winner's manifest and
         re-merges — schema merge is monotonic/commutative, so re-applying
         on top of a concurrent commit is always safe."""
-        reserved = set(BOOKKEEPING_COLS) & set(incoming_payload.fieldNames())
+        reserved = (set(BOOKKEEPING_COLS) | {_BUCKET_COL}) & set(
+            incoming_payload.fieldNames()
+        )
         if reserved:
             raise ValueError(
                 f"incoming column(s) {sorted(reserved)} are reserved for "
@@ -1723,13 +1767,10 @@ class LakeTable:
             [f for f in changes.schema.fields if f.name in payload_cols]
         )
         self.evolve_schema_for(incoming_payload)
-        target = self._internal_schema(self.schema())
 
-        # Normalize to internal shape: payload + _lsn + _deleted
-        norm = changes.withColumn(LSN_COL, F.col(lsn_col).cast("long")).withColumn(
-            DELETED_COL, F.col(op_col) == F.lit("D")
-        )
-        norm = _conform(norm, target)
+        base_norm = changes.withColumn(
+            LSN_COL, F.col(lsn_col).cast("long")
+        ).withColumn(DELETED_COL, F.col(op_col) == F.lit("D"))
         from pyspark.sql import Observation
 
         # Patch mode is read-modify-write: the written rows bake in the
@@ -1744,6 +1785,13 @@ class LakeTable:
             parent_v = (
                 self.manifest()["version"] if update_mode == "patch" else None
             )
+            # the target schema is (re)read INSIDE the loop: a retry
+            # past a concurrent commit that evolved the schema must
+            # conform + resolve against the evolved shape, or the
+            # rewritten full rows would silently drop the new columns
+            cur_schema = self.schema()
+            target = self._internal_schema(cur_schema)
+            norm = _conform(base_norm, target)
             # resolve *within* the batch so delta files hold one row per key
             if update_mode == "patch":
                 deduped = self._patch_resolve(norm, target)
@@ -1774,7 +1822,7 @@ class LakeTable:
             try:
                 result = self.commit_delta(
                     new_entries,
-                    self.schema(),
+                    cur_schema,  # the schema the files were CONFORMED to
                     app_id,
                     epoch,
                     stats={"rows_applied": rows, "deletes": n_del_row},

@@ -48,11 +48,11 @@ def test_crash_between_write_and_publish_does_not_poison(spark, tmp_table_dir, m
     orig_publish = t._publish
     calls = {"n": 0}
 
-    def crashing_publish(m):
+    def crashing_publish(m, added=None):
         if calls["n"] == 0:
             calls["n"] += 1
             raise RuntimeError("simulated crash before manifest publish")
-        return orig_publish(m)
+        return orig_publish(m, added=added)
 
     monkeypatch.setattr(t, "_publish", crashing_publish)
     with pytest.raises(RuntimeError, match="simulated crash"):

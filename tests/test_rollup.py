@@ -246,3 +246,77 @@ def test_rollup_equals_recompute_on_any_history(spark, tmp_path_factory, evs, cu
         _apply(spark, t, rows[start : start + step], epoch)
         refresh_rollup(spark, src_p, view_p, ["grp"], ["val"], n_buckets=2)
     assert _view_state(spark, view_p) == _recompute(t)
+
+
+def test_null_group_values_maintained_exactly(spark, tmp_path):
+    """SQL GROUP BY collects NULL group values into one group; the
+    view join-back must be null-safe or the stored NULL-group row is
+    never matched and its aggregates silently reset to the delta."""
+    src_p, view_p = str(tmp_path / "src"), str(tmp_path / "view")
+    t = LakeTable.create(spark, src_p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(
+        spark,
+        t,
+        [(1, "I", 1, None, 10), (2, "I", 2, None, 20), (3, "I", 3, "g", 1)],
+        0,
+    )
+    refresh_rollup(spark, src_p, view_p, ["grp"], ["val"], n_buckets=2)
+    _apply(spark, t, [(10, "I", 4, None, 5)], 1)
+    refresh_rollup(spark, src_p, view_p, ["grp"], ["val"], n_buckets=2)
+    assert _view_state(spark, view_p) == _recompute(t)
+    assert _view_state(spark, view_p)[None] == (35, 3)
+
+
+def test_group_and_sum_by_source_key_column(spark, tmp_path):
+    """Key columns never appear as old_<col> in the change feed (they
+    are immutable per key) — grouping/summing by one must still work."""
+    src_p, view_p = str(tmp_path / "src"), str(tmp_path / "view")
+    t = LakeTable.create(spark, src_p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(i, "I", i, f"g{i % 2}", i) for i in range(6)], 0)
+    refresh_rollup(
+        spark, src_p, view_p, ["doc_id"], ["val"], n_buckets=2
+    )
+    _apply(spark, t, [(10, "U", 2, "gX", 100), (11, "D", 3, None, None)], 1)
+    refresh_rollup(
+        spark, src_p, view_p, ["doc_id"], ["val"], n_buckets=2
+    )
+    got = {
+        r["doc_id"]: (r["sum_val"], r["row_count"])
+        for r in rollup_read(spark, view_p).collect()
+    }
+    want = {
+        r["doc_id"]: (r["s"], r["c"])
+        for r in t.read()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("val"), F.lit(0))).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want and 3 not in got and got[2] == (100, 1)
+
+
+def test_concurrent_duplicate_refresh_is_noop_not_hang(
+    spark, tmp_path, monkeypatch
+):
+    """If a concurrent refresher wins the epoch race, merge_into
+    returns skipped before any action runs on the observed batch —
+    refresh must return a no-op instead of blocking on obs.get."""
+    src_p, view_p = str(tmp_path / "src"), str(tmp_path / "view")
+    t = LakeTable.create(spark, src_p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(1, "I", 1, "g", 5)], 0)
+
+    monkeypatch.setattr(
+        LakeTable,
+        "merge_into",
+        lambda self, *a, **kw: {"skipped": True, "snapshot_id": "raced"},
+    )
+    r = refresh_rollup(spark, src_p, view_p, ["grp"], ["val"], n_buckets=2)
+    assert r == {
+        "refreshed": False,
+        "v_from": 0,
+        "v_to": t.manifest()["version"],
+        "groups_changed": 0,
+        "snapshot_id": "raced",
+    }

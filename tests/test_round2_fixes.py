@@ -327,12 +327,12 @@ def test_merge_into_retries_commit_conflict(spark, tmp_path, monkeypatch):
     real_publish = LakeTable._publish
     fails = {"n": 2}
 
-    def flaky_publish(self, manifest):
+    def flaky_publish(self, manifest, added=None):
         if fails["n"] > 0:
             fails["n"] -= 1
             self._manifest_cache_version = -1
             raise CommitConflict("simulated concurrent writer")
-        return real_publish(self, manifest)
+        return real_publish(self, manifest, added=added)
 
     monkeypatch.setattr(LakeTable, "_publish", flaky_publish)
     m = t.merge_into(changes, app_id="a", epoch=1)

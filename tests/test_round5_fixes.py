@@ -255,7 +255,15 @@ def test_prune_value_normalizes_by_column_type():
     utc = True
     # numeric probe on a timestamp key = epoch seconds → stats µs axis
     assert _prune_value(1_600_000_000, TimestampType(), utc) == 1_600_000_000 * 1_000_000
-    assert _prune_value(1.5, TimestampType(), utc) == 1.5e6
+    # fractional-second floats don't prune (Spark's µs rounding at the
+    # cast could land on either side of the float bound); whole-second
+    # floats do
+    assert _prune_value(1.5, TimestampType(), utc) is None
+    assert _prune_value(2.0, TimestampType(), utc) == 2e6
+    # fractional float on an integral column: only integral-valued
+    # floats prune (per-op truncation semantics differ otherwise)
+    assert _prune_value(3.7, LongType(), utc) is None
+    assert _prune_value(3.0, LongType(), utc) == 3
     # numeric→DATE cast is invalid in Spark — never prune
     assert _prune_value(5, DateType(), utc) is None
     # temporal probe on a numeric column: epoch-unknown — never prune
@@ -501,3 +509,123 @@ def test_cdf_stream_rejects_reserved_payload_columns(spark, tmp_path):
     LakeTable.create(spark, p, sch, key="k", n_buckets=1)
     with pytest.raises(Exception, match="reserves"):
         spark.readStream.format("lake_cdf").option("path", p).load()
+
+
+# ---------------------------------------------------------------------------
+# second review pass
+# ---------------------------------------------------------------------------
+
+
+def test_patch_retry_after_concurrent_schema_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """A retry past a concurrent commit that EVOLVED the schema must
+    re-conform against the evolved shape — the rewritten full rows
+    would otherwise silently drop the new column while their schema
+    version claims it exists."""
+    wide = StructType(PCH.fields[:]).add("c", StringType(), True)
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, PSCHEMA, key="k", n_buckets=1)
+    t.merge_into(
+        spark.createDataFrame([(1, "I", 7, "a0", "b0")], PCH),
+        app_id="w",
+        epoch=0,
+    )
+    other = LakeTable(spark, p)
+    fired = {"n": 0}
+    orig = t._write_data_files
+
+    def hooked(df, version, tag, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # concurrent writer ADDS column c and sets it (higher lsn
+            # than the stored row, lower than the patch)
+            other.merge_into(
+                spark.createDataFrame([(5, "U", 7, "a1", "b1", "c1")], wide),
+                app_id="other",
+                epoch=0,
+            )
+        return orig(df, version, tag, **kw)
+
+    monkeypatch.setattr(t, "_write_data_files", hooked)
+    t.merge_into(
+        spark.createDataFrame([(9, "U", 7, "a2", None)], PCH),
+        app_id="w",
+        epoch=1,
+        update_mode="patch",
+    )
+    assert fired["n"] == 1
+    row = t.read().collect()[0]
+    # patch column applied; BOTH concurrent columns preserved,
+    # including the newly evolved one
+    assert (row["a"], row["b"], row["c"]) == ("a2", "b1", "c1")
+
+
+def test_stat_value_exact_past_2038():
+    from multi_table_plugins_spark.lakehouse.table import (
+        _bloom_norm_value,
+        _stat_value,
+    )
+    from pyspark.sql.types import TimestampType
+
+    v = dt.datetime(2038, 1, 19, 3, 24, 27, 682234)
+    exact = ((v - dt.datetime(1970, 1, 1)).days * 86_400
+             + (v - dt.datetime(1970, 1, 1)).seconds) * 10**6 \
+        + (v - dt.datetime(1970, 1, 1)).microseconds
+    assert _stat_value(v) == exact == 2147484267682234
+    # the old float total_seconds() path was off by 1 µs out here
+    assert int((v - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) != exact
+    assert _bloom_norm_value(v, TimestampType()) == str(exact)
+
+
+def test_lookup_float_probe_on_integral_key_matches_cast(spark, tmp_path):
+    """lookup()'s contract casts the probe through the key type; a
+    float probe on a long key truncates toward zero for the bucket
+    hash AND the row filter — stats pruning must target the same key,
+    not the raw fractional value (which pruned the file and returned
+    empty)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2
+    )
+    t.merge_into(
+        spark.createDataFrame(
+            [(i, "I", i, [i], "s") for i in range(10)], CH
+        ),
+        app_id="f",
+        epoch=0,
+    )
+    got = t.lookup(3.0).collect()
+    assert len(got) == 1 and got[0]["tokens"] == [3]
+    got = t.lookup(3.7).collect()  # Spark cast truncates to key 3
+    assert len(got) == 1 and got[0]["tokens"] == [3]
+
+
+def test_create_rejects_bucket_column(spark, tmp_path):
+    bad = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("_bucket", LongType(), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        LakeTable.create(spark, str(tmp_path / "t"), bad, key="k")
+
+
+def test_maintain_rejects_minor_cluster_combo(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/maintain.py",
+            "compact",
+            "--warehouse",
+            str(tmp_path),
+            "--minor",
+            "--cluster",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 2 and "major compaction" in r.stderr

@@ -23,6 +23,14 @@ vacuum-tombstones --lsn-watermark W [--tables a,b]
 replicate --src T --dst-path P --checkpoint C [--continuous]
     Incremental-refresh a replica of one table through the streaming
     change feed (exactly-once; see streaming.cdf_source.replicate_table).
+rebucket --n-buckets N [--cluster] [--tables a,b]
+    Bucket-layout evolution: full rewrite hashing every row with the
+    new bucket count (concurrent merges hashed with the old layout
+    conflict and re-bucket instead of corrupting the manifest).
+constraint --src T [--add NAME EXPR [--no-validate]] [--drop NAME]
+    Add (validating existing data first), drop, or list CHECK
+    constraints; merges then enforce them (fail, or drop + count with
+    merge_into(on_violation="drop")).
 refresh-rollup --src T --view-path P --group-by g1,g2 [--sum c1,c2]
     Create or incrementally refresh a materialized GROUP BY view
     (sum_<col> + row_count per group) — O(changes) per refresh via the
@@ -94,6 +102,23 @@ def main() -> None:
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
     sp = sub.add_parser(
+        "rebucket", help="change the bucket count (full rewrite)"
+    )
+    common(sp)
+    sp.add_argument("--n-buckets", type=int, required=True)
+    sp.add_argument("--cluster", action="store_true",
+                    help="also range-cluster the rewritten bases")
+    sp = sub.add_parser(
+        "constraint", help="add/drop/list CHECK constraints on one table"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--add", nargs=2, metavar=("NAME", "EXPR"))
+    sp.add_argument("--drop", dest="drop_name", metavar="NAME")
+    sp.add_argument("--no-validate", action="store_true",
+                    help="skip the existing-data validation scan on --add")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
         "refresh-rollup",
         help="create/refresh an incremental GROUP BY view of one table",
     )
@@ -135,6 +160,13 @@ def main() -> None:
         out["tables"][a.src] = {
             "replica_rows": LakeTable(spark, a.dst_path, io=io).read().count()
         }
+    elif a.cmd == "constraint":
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        if a.add:
+            lt.add_constraint(a.add[0], a.add[1], validate=not a.no_validate)
+        if a.drop_name:
+            lt.drop_constraint(a.drop_name)
+        out["tables"][a.src] = {"constraints": lt.constraints()}
     elif a.cmd == "refresh-rollup":
         from multi_table_plugins_spark.lakehouse.rollup import refresh_rollup
 
@@ -183,6 +215,10 @@ def main() -> None:
                 )
             elif a.cmd == "vacuum-tombstones":
                 out["tables"][t] = lt.vacuum_tombstones(a.lsn_watermark)
+            elif a.cmd == "rebucket":
+                out["tables"][t] = lt.rebucket(
+                    a.n_buckets, cluster=a.cluster
+                )
     print(json.dumps(out, default=str))
     spark.stop()
 

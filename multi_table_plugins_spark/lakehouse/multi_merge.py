@@ -223,7 +223,16 @@ def merge_many(
                     entry["stats_v"] = _STATS_V
                 entries.setdefault(bucket, []).append(entry)
         t0 = time.time()
-        m = lt.commit_delta(entries, payload_schema, app_id, epoch)
+        # expected_n_buckets: these entries were hashed with the bucket
+        # count read at planning time — a concurrent rebucket() must
+        # conflict here, not silently file rows under wrong bucket ids
+        m = lt.commit_delta(
+            entries,
+            payload_schema,
+            app_id,
+            epoch,
+            expected_n_buckets=n_buckets,
+        )
         m["commit_ms"] = round((time.time() - t0) * 1000, 1)
         if m.get("skipped"):
             # epoch already committed (crash replay) — discard placed files

@@ -74,6 +74,11 @@ DELTA_WRITE_OPTS = {
 }
 
 
+class ConstraintViolation(RuntimeError):
+    """A merge batch contained live rows violating a table CHECK
+    constraint (and the table's / call's violation mode is 'fail')."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer published this manifest version first."""
 
@@ -667,7 +672,17 @@ class LakeTable:
         try:
             self.io.publish_atomic(
                 sidecar,
-                json.dumps({"version": v, "added_delta": added or {}}),
+                json.dumps(
+                    {
+                        "version": v,
+                        "added_delta": added or {},
+                        # bucket ids above are relative to THIS layout;
+                        # incremental readers crossing a rebucket() in
+                        # their range use this to widen the old-state
+                        # read to every bucket (ids don't translate)
+                        "n_buckets": manifest["n_buckets"],
+                    }
+                ),
             )
         except (FileExistsError, OSError):
             pass  # readers fall back to the manifest diff for this version
@@ -941,6 +956,8 @@ class LakeTable:
         # to diffing that version's full manifest against its parent.
         added: list[dict] = []
         touched: set[str] = set()
+        layout_changed = False  # any rebucket() inside the range?
+        m_from = self.manifest(v_from)
         prev_m: "dict | None" = None
         for v in range(v_from + 1, v_to + 1):
             c = self._load_commit_log(v)
@@ -949,6 +966,8 @@ class LakeTable:
                     if es:
                         added.extend(es)
                         touched.add(bucket)
+                if c.get("n_buckets", m_from["n_buckets"]) != m_from["n_buckets"]:
+                    layout_changed = True
                 prev_m = None
                 continue
             if prev_m is None or prev_m["version"] != v - 1:
@@ -964,7 +983,14 @@ class LakeTable:
                     if e["path"] not in prev_paths:
                         added.append(e)
                         touched.add(bucket)
+            if m_v["n_buckets"] != m_from["n_buckets"]:
+                layout_changed = True
             prev_m = m_v
+        if layout_changed:
+            # bucket ids collected above are relative to post-rebucket
+            # layouts and don't translate to v_from's — read the whole
+            # old snapshot (conservative: correctness over pruning)
+            touched = set(m_from["buckets"])
 
         out_fields = StructType(
             [f for f in target.fields if f.name in keys]
@@ -1000,7 +1026,6 @@ class LakeTable:
 
         # old state, ONLY the touched buckets, tombstones included (a key
         # deleted before v_from then re-inserted in range is an insert)
-        m_from = self.manifest(v_from)
         old_entries = [
             e
             for bucket in touched
@@ -1310,7 +1335,12 @@ class LakeTable:
     # write path
     # ------------------------------------------------------------------
     def _write_data_files(
-        self, df: DataFrame, version: int, tag: str, cluster_files: int = 0
+        self,
+        df: DataFrame,
+        version: int,
+        tag: str,
+        cluster_files: int = 0,
+        n_partitions: int | None = None,
     ) -> dict[str, list[dict]]:
         """Write ``df`` (already bucketed via ``_bucket`` col) under
         ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}.
@@ -1334,7 +1364,9 @@ class LakeTable:
                 cluster_files, F.col(_BUCKET_COL), *keys
             ).sortWithinPartitions(_BUCKET_COL, *self.key_cols)
         else:
-            shaped = df.repartition(self.n_buckets, F.col(_BUCKET_COL))
+            shaped = df.repartition(
+                n_partitions or self.n_buckets, F.col(_BUCKET_COL)
+            )
         w = shaped.write.partitionBy(_BUCKET_COL)
         if tag == "delta":
             w = w.options(**DELTA_WRITE_OPTS)
@@ -1431,11 +1463,12 @@ class LakeTable:
                         "b64": _bloom_pack(ps),
                     }
 
-    def _bucket_expr(self):
+    def _bucket_expr(self, n_buckets: int | None = None):
         # murmur3 over the key tuple, in manifest order — multi_merge's
         # write-side bucketing must produce the identical expression
         return F.pmod(
-            F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets)
+            F.hash(*[F.col(k) for k in self.key_cols]),
+            F.lit(self.n_buckets if n_buckets is None else n_buckets),
         )
 
     def _ensure_schema_version(self, m: dict, schema: StructType) -> int:
@@ -1460,6 +1493,7 @@ class LakeTable:
         stats: dict | None = None,
         compact: bool | None = None,
         require_parent_version: int | None = None,
+        expected_n_buckets: int | None = None,
     ) -> dict:
         """Commit pre-written delta files (one atomic manifest publish).
 
@@ -1477,6 +1511,12 @@ class LakeTable:
         callers (patch merge) use this: their files bake in the state
         they read, so appending them on top of someone else's commit
         would silently drop that commit's column values.
+
+        ``expected_n_buckets`` — the bucket count the entries were
+        hashed with; if a concurrent :meth:`rebucket` changed the
+        table's layout, re-applying these entries would file rows under
+        wrong bucket ids, so the commit conflicts instead (callers
+        re-bucket the batch and retry).
         """
         # Optimistic concurrency: delta commits only APPEND file entries,
         # so on a version race we reload the winner's manifest and re-apply
@@ -1495,6 +1535,15 @@ class LakeTable:
                 raise CommitConflict(
                     f"table at {self.path} advanced to v{m['version']} "
                     f"past expected parent v{require_parent_version}"
+                )
+            if (
+                expected_n_buckets is not None
+                and m["n_buckets"] != expected_n_buckets
+            ):
+                raise CommitConflict(
+                    f"bucket layout of {self.path} changed to "
+                    f"{m['n_buckets']} buckets (entries hashed with "
+                    f"{expected_n_buckets}) — re-bucket the batch"
                 )
             file_sv = self._ensure_schema_version(m, file_schema)
             cur = schema_from_json(m["schemas"][str(m["current_schema_version"])])
@@ -1601,6 +1650,100 @@ class LakeTable:
                 continue
         raise CommitConflict(
             f"gave up after 10 schema-evolution attempts at {self.path}"
+        )
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (Delta-style table expectations)
+    # ------------------------------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints ({name: boolean SQL expr})."""
+        return dict(self.manifest().get("constraints") or {})
+
+    def add_constraint(
+        self, name: str, expr: str, validate: bool = True
+    ) -> None:
+        """Register a CHECK constraint: every LIVE row must satisfy the
+        boolean SQL ``expr`` (SQL CHECK semantics — NULL passes). Future
+        merges enforce it (see :meth:`merge_into`'s ``on_violation``).
+
+        ``validate=True`` first proves the CURRENT table satisfies the
+        constraint (one filtered scan, early-exit on the first
+        violation) — adding a constraint existing data violates would
+        make every future merge's guarantee a lie. The registration is
+        a schema-only commit with the usual optimistic-retry."""
+        probe = self.spark.createDataFrame([], self.schema())
+        try:
+            analyzed = probe.select(F.expr(expr).alias("_c"))
+        except Exception as e:
+            raise ValueError(
+                f"constraint {name!r} does not analyze against the "
+                f"table schema: {e}"
+            ) from e
+        from pyspark.sql.types import BooleanType
+
+        if not isinstance(analyzed.schema["_c"].dataType, BooleanType):
+            raise ValueError(
+                f"constraint {name!r} must be a boolean expression, "
+                f"got {analyzed.schema['_c'].dataType.simpleString()}"
+            )
+        existing = self.constraints()
+        if existing.get(name) == expr:
+            return  # idempotent re-add — no scan needed
+        if name in existing:
+            raise ValueError(
+                f"constraint {name!r} already exists with a "
+                f"different expression ({existing[name]!r}); drop it first"
+            )
+        if validate:
+            bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"existing rows violate constraint {name!r} ({expr})"
+                )
+        for _ in range(10):
+            m = json.loads(json.dumps(self.manifest()))
+            cs = m.setdefault("constraints", {})
+            if cs.get(name) == expr:
+                return  # idempotent re-add
+            if name in cs:
+                raise ValueError(
+                    f"constraint {name!r} already exists with a "
+                    f"different expression ({cs[name]!r}); drop it first"
+                )
+            cs[name] = expr
+            self._advance(m)
+            try:
+                self._publish(m)
+                return
+            except CommitConflict:
+                self._manifest_cache_version = -1
+                continue
+        raise CommitConflict(
+            f"gave up after 10 add-constraint attempts at {self.path}"
+        )
+
+    def drop_constraint(self, name: str) -> None:
+        for _ in range(10):
+            m = json.loads(json.dumps(self.manifest()))
+            cs = m.get("constraints") or {}
+            if name not in cs:
+                return  # idempotent
+            del cs[name]
+            m["constraints"] = cs
+            self._advance(m)
+            try:
+                self._publish(m)
+                return
+            except CommitConflict:
+                self._manifest_cache_version = -1
+                continue
+        raise CommitConflict(
+            f"gave up after 10 drop-constraint attempts at {self.path}"
         )
 
     def _advance(self, m: dict) -> None:
@@ -1721,11 +1864,22 @@ class LakeTable:
         op_col: str = "op",
         compact: bool | None = None,
         update_mode: str = "row",
+        on_violation: str = "fail",
     ) -> dict:
         """MERGE a batch of change events into the table (upsert + delete,
         last-writer-wins by ``lsn_col``). Exactly-once: if ``epoch`` is not
         newer than the ledger's high-water mark for ``app_id``, this is a
         no-op (the batch was already committed before a crash).
+
+        If the table has CHECK constraints (:meth:`add_constraint`),
+        every LIVE event in the batch is checked (SQL CHECK semantics —
+        NULL passes; deletes are exempt). ``on_violation``: ``"fail"``
+        raises :class:`ConstraintViolation` with sample rows before
+        anything is written; ``"drop"`` filters violating events out
+        and reports ``constraint_violations_dropped`` in the metrics —
+        the reference's skip-invalid error-port mode applied to table
+        expectations (RecordFilterOutputFormat.java:51-53 semantics).
+        Both cost one extra pass over the BATCH (never the table).
 
         ``changes`` columns: key + payload columns + ``lsn_col`` +
         ``op_col`` ('I'/'U'/'D'). Payload may add columns or widen types →
@@ -1750,6 +1904,10 @@ class LakeTable:
         if update_mode not in ("row", "patch"):
             raise ValueError(
                 f"update_mode must be 'row' or 'patch', got {update_mode!r}"
+            )
+        if on_violation not in ("fail", "drop"):
+            raise ValueError(
+                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
             )
         if epoch is not None:
             last = self.last_committed_epoch(app_id)
@@ -1779,8 +1937,9 @@ class LakeTable:
         # the state read and the publish, the commit conflicts and the
         # whole read-resolve-write cycle retries against the new state
         # (bounded attempts, then a loud CommitConflict — never silent
-        # column loss). Row mode stays a plain append (one pass).
-        attempts = 5 if update_mode == "patch" else 1
+        # column loss). Row mode is a plain append, retried only if a
+        # concurrent rebucket() changed the layout under the batch.
+        attempts = 5 if update_mode == "patch" else 3
         for attempt in range(attempts):
             parent_v = (
                 self.manifest()["version"] if update_mode == "patch" else None
@@ -1792,6 +1951,26 @@ class LakeTable:
             cur_schema = self.schema()
             target = self._internal_schema(cur_schema)
             norm = _conform(base_norm, target)
+            n_viol = 0
+            cons = self.manifest().get("constraints") or {}
+            if cons:
+                live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                viol = F.lit(False)
+                for cexpr in cons.values():
+                    viol = viol | ~F.coalesce(F.expr(cexpr), F.lit(True))
+                viol = viol & live
+                if on_violation == "fail":
+                    sample = norm.filter(viol).limit(3).collect()
+                    if sample:
+                        raise ConstraintViolation(
+                            f"batch violates constraint(s) {sorted(cons)} "
+                            f"at {self.path}; sample: "
+                            + "; ".join(str(r.asDict()) for r in sample)
+                        )
+                else:  # drop
+                    n_viol = norm.filter(viol).count()
+                    if n_viol:
+                        norm = norm.filter(~viol)
             # resolve *within* the batch so delta files hold one row per key
             if update_mode == "patch":
                 deduped = self._patch_resolve(norm, target)
@@ -1799,12 +1978,13 @@ class LakeTable:
                 deduped = self._lww_resolve(norm, target)
             # Observation piggybacks row/delete counts on the write job
             # itself — no second pass over the batch for metrics.
+            nb = self.n_buckets
             obs = Observation()
             bucketed = deduped.observe(
                 obs,
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.col(DELETED_COL).cast("int")).alias("deletes"),
-            ).withColumn(_BUCKET_COL, self._bucket_expr())
+            ).withColumn(_BUCKET_COL, self._bucket_expr(nb))
 
             new_entries = self._write_data_files(
                 bucketed, self.manifest()["version"] + 1, "delta"
@@ -1825,9 +2005,18 @@ class LakeTable:
                     cur_schema,  # the schema the files were CONFORMED to
                     app_id,
                     epoch,
-                    stats={"rows_applied": rows, "deletes": n_del_row},
+                    stats={
+                        "rows_applied": rows,
+                        "deletes": n_del_row,
+                        **(
+                            {"constraint_violations_dropped": n_viol}
+                            if n_viol
+                            else {}
+                        ),
+                    },
                     compact=compact,
                     require_parent_version=parent_v,
+                    expected_n_buckets=nb,
                 )
             except CommitConflict:
                 self._discard_unreferenced(new_entries)
@@ -1967,6 +2156,62 @@ class LakeTable:
         self._advance(m)
         self._publish(m)
         return {"compacted_buckets": sorted(buckets, key=int)}
+
+    def rebucket(self, n_buckets: int, cluster: bool = False) -> dict:
+        """Change the table's bucket count — bucket-layout evolution
+        (Iceberg partition-spec evolution analog). A full rewrite:
+        every live+tombstone row is LWW-resolved and rewritten as base
+        files hashed with the NEW bucket count; deltas fold in. O(table)
+        by nature — this is the one inherently global maintenance op —
+        so schedule it like a major compaction. ``cluster=True`` also
+        range-clusters the new bases (see :meth:`compact`).
+
+        Safe against concurrent writers from BOTH sides: this commit
+        publishes with the usual CAS (a concurrent commit wins the
+        version and this raises ``CommitConflict`` — rerun), and every
+        merge commit carries ``expected_n_buckets``, so a batch hashed
+        with the OLD layout that lands after the rebucket conflicts and
+        re-buckets instead of filing rows under wrong bucket ids."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        m = json.loads(json.dumps(self.manifest()))
+        if n_buckets == m["n_buckets"]:
+            return {"rebucketed": False, "n_buckets": n_buckets}
+        target = self._internal_schema(self.schema())
+        entries = [
+            e
+            for b in m["buckets"].values()
+            for part in ("base", "delta")
+            for e in b.get(part, [])
+        ]
+        df = self._read_files(entries, target)
+        if df is None:
+            new_entries: dict[str, list[dict]] = {}
+        else:
+            resolved = self._lww_resolve(df, target).withColumn(
+                _BUCKET_COL, self._bucket_expr(n_buckets)
+            )
+            new_entries = self._write_data_files(
+                resolved,
+                m["version"] + 1,
+                "base",
+                cluster_files=n_buckets * 4 if cluster else 0,
+                n_partitions=n_buckets,
+            )
+        m["n_buckets"] = n_buckets
+        m["buckets"] = {
+            b: {"base": es, "delta": []} for b, es in new_entries.items()
+        }
+        m["stats"]["total_files"] = sum(
+            len(es) for es in new_entries.values()
+        )
+        self._advance(m)
+        self._publish(m)
+        return {
+            "rebucketed": True,
+            "n_buckets": n_buckets,
+            "files_written": sum(len(es) for es in new_entries.values()),
+        }
 
     # convenience for tests / entry
     def count(self) -> int:

@@ -23,6 +23,10 @@ vacuum-tombstones --lsn-watermark W [--tables a,b]
 replicate --src T --dst-path P --checkpoint C [--continuous]
     Incremental-refresh a replica of one table through the streaming
     change feed (exactly-once; see streaming.cdf_source.replicate_table).
+snapshot [--publish]
+    Show the latest cross-table consistent warehouse snapshot (pinned
+    per-table versions from the last COMPLETE multi-table batch), or
+    publish one pinning every table's current version.
 rebucket --n-buckets N [--cluster] [--tables a,b]
     Bucket-layout evolution: full rewrite hashing every row with the
     new bucket count (concurrent merges hashed with the old layout
@@ -102,6 +106,14 @@ def main() -> None:
     sp.add_argument("--continuous", action="store_true")
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
     sp = sub.add_parser(
+        "snapshot",
+        help="show / publish the cross-table consistent warehouse snapshot",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--publish", action="store_true",
+                    help="pin every table's CURRENT version as a new snapshot")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
         "rebucket", help="change the bucket count (full rewrite)"
     )
     common(sp)
@@ -160,6 +172,22 @@ def main() -> None:
         out["tables"][a.src] = {
             "replica_rows": LakeTable(spark, a.dst_path, io=io).read().count()
         }
+    elif a.cmd == "snapshot":
+        from multi_table_plugins_spark.lakehouse.snapshots import (
+            latest_snapshot,
+            publish_snapshot,
+        )
+
+        if a.publish:
+            versions = {
+                t: LakeTable(
+                    spark, os.path.join(a.warehouse, t), io=io
+                ).manifest()["version"]
+                for t in _tables_of(a.warehouse, io, [])
+            }
+            out["snapshot"] = publish_snapshot(io, a.warehouse, versions)
+        else:
+            out["snapshot"] = latest_snapshot(io, a.warehouse)
     elif a.cmd == "constraint":
         lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
         if a.add:

@@ -5,3 +5,8 @@ from .table import (  # noqa: F401
     LakeTable,
 )
 from .rollup import refresh_rollup, rollup_read, rollup_schema  # noqa: F401
+from .snapshots import (  # noqa: F401
+    WarehouseSnapshot,
+    latest_snapshot,
+    publish_snapshot,
+)

@@ -295,6 +295,30 @@ def merge_many(
             "unsafe_tables": sorted(unsafe),
         }
         raise err from first_e
+    # every table committed → publish the cross-table-consistent
+    # warehouse snapshot pinning each touched table's resulting version
+    # (a crash before this point leaves readers on the last complete
+    # batch — see lakehouse/snapshots.py). Best-effort: a snapshot
+    # publish failure must not fail a durably committed batch.
+    touched = [t for t in results if not t.startswith("_")]
+    if touched:
+        try:
+            from .snapshots import publish_snapshot
+
+            publish_snapshot(
+                io,
+                warehouse,
+                {
+                    t: LakeTable(
+                        spark, os.path.join(warehouse, t), io=io
+                    ).manifest()["version"]
+                    for t in touched
+                },
+                app_id=app_id,
+                epoch=epoch,
+            )
+        except Exception:
+            pass
     results["_batch"] = {
         "rows_in": got.get("rows_in", 0),
         "deletes": got.get("deletes", 0) or 0,

@@ -36,6 +36,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 #: table names become warehouse directory names — anything else is an
 #: injection risk (a change event with table_name='../x' must never
@@ -80,6 +81,7 @@ def merge_many(
     allowed_tables: set[str] | None = None,
     batch_dedup: bool = False,
     io: FileIO | None = None,
+    on_violation: str = "fail",
 ) -> dict[str, dict]:
     """Apply a change-feed batch to every table it mentions; returns
     {table: merge metrics}. One Spark job (two if invalid rows exist).
@@ -159,6 +161,86 @@ def merge_many(
 
     unsafe: list[str] = []
 
+    def _commit_table_slow(lt: LakeTable, table: str, tdir: str) -> None:
+        """Slow lane for tables the staged files can't serve directly:
+        a bucket layout differing from the batch's (post-``rebucket``)
+        and/or registered CHECK constraints. Re-reads ONLY this table's
+        staged files (column-pruned parquet, page-cache hot), enforces
+        constraints on the events, re-buckets with the TABLE's layout,
+        and commits through the table's own write path — O(this
+        table's share of the batch), the hot path untouched for every
+        other table."""
+        from .table import CommitConflict, ConstraintViolation
+
+        sdir = os.path.join(staging, tdir)
+        files = [
+            os.path.join(sdir, b, f)
+            for b in io.listdir(sdir)
+            if b.startswith(f"{_BUCKET_COL}=")
+            for f in io.listdir(os.path.join(sdir, b))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            results[table] = {"skipped": False, "rows_applied": 0}
+            return
+        file_schema = StructType(list(payload_schema.fields))
+        file_schema = file_schema.add(LSN_COL, "long").add(
+            DELETED_COL, "boolean"
+        )
+        df = spark.read.schema(file_schema).parquet(*files)
+        n_viol = 0
+        cons = lt.constraints()
+        if cons:
+            live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            viol = F.lit(False)
+            for cexpr in cons.values():
+                viol = viol | ~F.coalesce(F.expr(cexpr), F.lit(True))
+            viol = viol & live
+            if on_violation == "fail":
+                sample = df.filter(viol).limit(3).collect()
+                if sample:
+                    raise ConstraintViolation(
+                        f"batch violates constraint(s) {sorted(cons)} on "
+                        f"table {table!r}; sample: "
+                        + "; ".join(str(r.asDict()) for r in sample)
+                    )
+            else:
+                n_viol = df.filter(viol).count()
+                if n_viol:
+                    df = df.filter(~viol)
+        for attempt in range(3):
+            nb = lt.n_buckets
+            bucketed2 = df.withColumn(_BUCKET_COL, lt._bucket_expr(nb))
+            new_entries = lt._write_data_files(
+                bucketed2, lt.manifest()["version"] + 1, "delta"
+            )
+            t0 = time.time()
+            try:
+                m = lt.commit_delta(
+                    new_entries,
+                    payload_schema,
+                    app_id,
+                    epoch,
+                    expected_n_buckets=nb,
+                )
+            except CommitConflict:
+                lt._discard_unreferenced(new_entries)
+                lt._manifest_cache_version = -1
+                if attempt == 2:
+                    raise
+                continue
+            break
+        m["commit_ms"] = round((time.time() - t0) * 1000, 1)
+        if m.get("skipped"):
+            lt._discard_unreferenced(new_entries)
+        else:
+            m["rows_applied"] = sum(
+                e["rows"] for es in new_entries.values() for e in es
+            )
+            if n_viol:
+                m["constraint_violations_dropped"] = n_viol
+        results[table] = m
+
     def _commit_table(tdir: str) -> None:
         table = tdir.split("=", 1)[1]
         if not is_safe_table_name(table):
@@ -176,14 +258,6 @@ def merge_many(
             minor_compact_threshold=minor_compact_threshold,
             io=io,
         )
-        if lt.n_buckets != n_buckets:
-            # bucket ids were computed with the caller's n_buckets; an
-            # existing table with a different layout would mis-assign
-            # files and corrupt compaction — refuse loudly
-            raise ValueError(
-                f"table {table!r} has n_buckets={lt.n_buckets}, batch was "
-                f"bucketed with {n_buckets}; pass the table's value"
-            )
         if lt.key_cols != key_cols:
             # same corruption class as a bucket-count mismatch: the
             # bucket hash is order-sensitive over the key tuple, so a
@@ -193,6 +267,14 @@ def merge_many(
                 f"table {table!r} has key {lt.key_cols}, batch was "
                 f"bucketed on {key_cols}; pass the table's key order"
             )
+        if lt.n_buckets != n_buckets or lt.constraints():
+            # the staged files were hashed with the BATCH's bucket count
+            # and never constraint-checked — this table needs the slow
+            # lane (re-bucket to the table's layout after a rebucket();
+            # enforce CHECK constraints). Every other table stays on the
+            # zero-copy fast lane below.
+            _commit_table_slow(lt, table, tdir)
+            return
         dest_rel = f"{DATA_DIR}/e{epoch if epoch is not None else 'x'}-{uuid.uuid4().hex[:8]}"
         entries: dict[str, list[dict]] = {}
         total_rows = 0
@@ -300,22 +382,22 @@ def merge_many(
     # (a crash before this point leaves readers on the last complete
     # batch — see lakehouse/snapshots.py). Best-effort: a snapshot
     # publish failure must not fail a durably committed batch.
-    touched = [t for t in results if not t.startswith("_")]
-    if touched:
+    # pin the versions each commit ITSELF produced (never a re-read of
+    # "latest" — a concurrent writer's half-committed batch must not
+    # leak into the pin map); skipped replays pin their table's current
+    # version, which with sequential per-app epochs already contains
+    # the skipped batch
+    versions = {
+        t: m["version"]
+        for t, m in results.items()
+        if not t.startswith("_") and m.get("version") is not None
+    }
+    if versions:
         try:
             from .snapshots import publish_snapshot
 
             publish_snapshot(
-                io,
-                warehouse,
-                {
-                    t: LakeTable(
-                        spark, os.path.join(warehouse, t), io=io
-                    ).manifest()["version"]
-                    for t in touched
-                },
-                app_id=app_id,
-                epoch=epoch,
+                io, warehouse, versions, app_id=app_id, epoch=epoch
             )
         except Exception:
             pass

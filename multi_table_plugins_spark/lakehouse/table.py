@@ -1526,7 +1526,14 @@ class LakeTable:
             if epoch is not None:
                 last = self.last_committed_epoch(app_id)
                 if last is not None and epoch <= last:
-                    return {"skipped": True, "snapshot_id": self.snapshot_id()}
+                    return {
+                        "skipped": True,
+                        "snapshot_id": self.snapshot_id(),
+                        # current version: with sequential epochs (one
+                        # writer per app), this already CONTAINS the
+                        # skipped batch — snapshot publishers pin it
+                        "version": self.manifest()["version"],
+                    }
             m = json.loads(json.dumps(self.manifest()))
             if (
                 require_parent_version is not None
@@ -1613,6 +1620,10 @@ class LakeTable:
                 e.get("rows", 0) for es in entries_by_bucket.values() for e in es
             ),
             "snapshot_id": self.snapshot_id(),
+            # the DATA commit's version (m is the manifest this call
+            # published — maintenance may have advanced the table since,
+            # but snapshot publishers must pin the batch's own commit)
+            "version": m["version"],
             "schema_version": self.manifest()["current_schema_version"],
             **(stats or {}),
         }
@@ -1686,25 +1697,6 @@ class LakeTable:
                 f"constraint {name!r} must be a boolean expression, "
                 f"got {analyzed.schema['_c'].dataType.simpleString()}"
             )
-        existing = self.constraints()
-        if existing.get(name) == expr:
-            return  # idempotent re-add — no scan needed
-        if name in existing:
-            raise ValueError(
-                f"constraint {name!r} already exists with a "
-                f"different expression ({existing[name]!r}); drop it first"
-            )
-        if validate:
-            bad = (
-                self.read()
-                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-                .limit(1)
-                .count()
-            )
-            if bad:
-                raise ConstraintViolation(
-                    f"existing rows violate constraint {name!r} ({expr})"
-                )
         for _ in range(10):
             m = json.loads(json.dumps(self.manifest()))
             cs = m.setdefault("constraints", {})
@@ -1715,6 +1707,21 @@ class LakeTable:
                     f"constraint {name!r} already exists with a "
                     f"different expression ({cs[name]!r}); drop it first"
                 )
+            if validate:
+                # INSIDE the retry loop: a concurrent (still-unenforced)
+                # merge can land violating rows between a scan and the
+                # publish — losing the version race means re-proving the
+                # data against the winner's state, not just republishing
+                bad = (
+                    self.read()
+                    .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ConstraintViolation(
+                        f"existing rows violate constraint {name!r} ({expr})"
+                    )
             cs[name] = expr
             self._advance(m)
             try:
@@ -1916,6 +1923,7 @@ class LakeTable:
                     "skipped": True,
                     "reason": f"epoch {epoch} <= committed {last}",
                     "snapshot_id": self.snapshot_id(),
+                    "version": self.manifest()["version"],
                 }
 
         payload_cols = [
@@ -1951,7 +1959,17 @@ class LakeTable:
             cur_schema = self.schema()
             target = self._internal_schema(cur_schema)
             norm = _conform(base_norm, target)
-            n_viol = 0
+            # resolve *within* the batch so delta files hold one row per key
+            if update_mode == "patch":
+                deduped = self._patch_resolve(norm, target)
+            else:
+                deduped = self._lww_resolve(norm, target)
+            # CHECK constraints are evaluated on the RESOLVED rows — what
+            # would actually be stored. Checking raw events would miss
+            # patch-mode violations that only appear after coalescing
+            # against the current row (e.g. CHECK a <= b with a patched
+            # and b carried forward).
+            viol_obs = None
             cons = self.manifest().get("constraints") or {}
             if cons:
                 live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -1960,22 +1978,21 @@ class LakeTable:
                     viol = viol | ~F.coalesce(F.expr(cexpr), F.lit(True))
                 viol = viol & live
                 if on_violation == "fail":
-                    sample = norm.filter(viol).limit(3).collect()
+                    sample = deduped.filter(viol).limit(3).collect()
                     if sample:
                         raise ConstraintViolation(
                             f"batch violates constraint(s) {sorted(cons)} "
                             f"at {self.path}; sample: "
                             + "; ".join(str(r.asDict()) for r in sample)
                         )
-                else:  # drop
-                    n_viol = norm.filter(viol).count()
-                    if n_viol:
-                        norm = norm.filter(~viol)
-            # resolve *within* the batch so delta files hold one row per key
-            if update_mode == "patch":
-                deduped = self._patch_resolve(norm, target)
-            else:
-                deduped = self._lww_resolve(norm, target)
+                else:  # drop: count rides the write job (CollectMetrics
+                    # is a pushdown barrier, so the filter above it
+                    # cannot shrink the observed count)
+                    viol_obs = Observation()
+                    deduped = deduped.observe(
+                        viol_obs,
+                        F.sum(viol.cast("long")).alias("nv"),
+                    ).filter(~viol)
             # Observation piggybacks row/delete counts on the write job
             # itself — no second pass over the batch for metrics.
             nb = self.n_buckets
@@ -1993,6 +2010,9 @@ class LakeTable:
             got = obs.get
             rows = got.get("rows", 0)
             n_del_row = got.get("deletes", 0) or 0
+            n_viol = (
+                int(viol_obs.get.get("nv") or 0) if viol_obs is not None else 0
+            )
 
             # Publish through commit_delta: delta commits are append-only,
             # so its reload-and-retry loop makes a concurrent compaction/
@@ -2206,7 +2226,15 @@ class LakeTable:
             len(es) for es in new_entries.values()
         )
         self._advance(m)
-        self._publish(m)
+        try:
+            self._publish(m)
+        except CommitConflict:
+            # losing the version race after an O(table) rewrite must not
+            # leak a table-sized copy per attempt — reclaim, then let the
+            # caller rerun against the winner's state
+            self._discard_unreferenced(new_entries)
+            self._manifest_cache_version = -1
+            raise
         return {
             "rebucketed": True,
             "n_buckets": n_buckets,

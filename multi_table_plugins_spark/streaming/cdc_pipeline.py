@@ -270,6 +270,10 @@ def apply_cdc_batch(
                 batch_dedup=batch_dedup,
                 io=io,
                 key_col=key_col,
+                # CHECK-constraint violations follow the pipeline's
+                # error discipline: FAIL aborts the batch, skip /
+                # error-port drop them with a counted metric
+                on_violation="fail" if error_mode == FAIL else "drop",
             )
             batch_stats = results.pop("_batch", {})
             unsafe_names = batch_stats.get("unsafe_tables", [])
@@ -506,7 +510,12 @@ def _apply_isolated(
                     minor_compact_threshold=minor_compact_threshold,
                     io=io,
                 )
-                m = lt.merge_into(changes, app_id=app_id, epoch=epoch)
+                m = lt.merge_into(
+                    changes,
+                    app_id=app_id,
+                    epoch=epoch,
+                    on_violation="fail" if error_mode == FAIL else "drop",
+                )
                 results[t] = m
                 lineage.emit(
                     {
@@ -564,6 +573,26 @@ def _apply_isolated(
                 epoch=epoch,
                 kind="failure",
             )
+        # a COMPLETE batch on the isolated path advances the warehouse
+        # snapshot too (else a fast-path fallback or fast_path=False
+        # would silently stall snapshot readers on ever-staler pins);
+        # an incomplete batch publishes nothing — readers stay on the
+        # last complete one
+        if results and not failures:
+            versions = {
+                t: m["version"]
+                for t, m in results.items()
+                if m.get("version") is not None
+            }
+            if versions:
+                try:
+                    from ..lakehouse.snapshots import publish_snapshot
+
+                    publish_snapshot(
+                        io, warehouse, versions, app_id=app_id, epoch=epoch
+                    )
+                except Exception:
+                    pass
         return {"tables": results, "failed": sorted(failures), "epoch": epoch}
     finally:
         batch_df.unpersist()

@@ -188,3 +188,166 @@ def test_constraint_cli(spark, tmp_path):
     assert LakeTable(spark, str(wh / "t0")).constraints() == {
         "n_pos": "n > 0"
     }
+
+
+# ---------------------------------------------------------------------------
+# second review pass: fast path, patch semantics, races
+# ---------------------------------------------------------------------------
+
+MM_FEED = StructType(
+    [
+        StructField("table_name", StringType(), False),
+        StructField("lsn", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("k", LongType(), False),
+        StructField("n", LongType(), True),
+        StructField("s", StringType(), True),
+    ]
+)
+
+
+def test_fast_path_enforces_constraints(spark, tmp_path):
+    """merge_many (the pipeline's default path) must enforce CHECK
+    constraints too — drop mode filters + counts, unconstrained sibling
+    tables stay on the zero-copy lane."""
+    from multi_table_plugins_spark.lakehouse.multi_merge import merge_many
+
+    wh = str(tmp_path / "wh")
+    merge_many(
+        spark,
+        spark.createDataFrame(
+            [("c0", 1, "I", 1, 5, "x"), ("c1", 2, "I", 1, 5, "x")], MM_FEED
+        ),
+        wh,
+        app_id="mm",
+        epoch=0,
+        n_buckets=2,
+        key_col="k",
+    )
+    LakeTable(spark, os.path.join(wh, "c0")).add_constraint("n_pos", "n > 0")
+    r = merge_many(
+        spark,
+        spark.createDataFrame(
+            [
+                ("c0", 10, "I", 2, -1, "bad"),
+                ("c0", 11, "I", 3, 7, "ok"),
+                ("c1", 12, "I", 2, -1, "fine-here"),
+            ],
+            MM_FEED,
+        ),
+        wh,
+        app_id="mm",
+        epoch=1,
+        n_buckets=2,
+        key_col="k",
+        on_violation="drop",
+    )
+    assert r["c0"]["constraint_violations_dropped"] == 1
+    c0 = {row["k"]: row["n"]
+          for row in LakeTable(spark, os.path.join(wh, "c0")).read().collect()}
+    assert c0 == {1: 5, 3: 7}  # violating insert dropped
+    # the UNconstrained table accepted its negative row untouched
+    c1 = {row["k"]: row["n"]
+          for row in LakeTable(spark, os.path.join(wh, "c1")).read().collect()}
+    assert c1 == {1: 5, 2: -1}
+
+
+def test_fast_path_fail_mode_raises_and_commits_nothing(spark, tmp_path):
+    from multi_table_plugins_spark.lakehouse.multi_merge import merge_many
+
+    wh = str(tmp_path / "wh")
+    merge_many(
+        spark,
+        spark.createDataFrame([("c0", 1, "I", 1, 5, "x")], MM_FEED),
+        wh,
+        app_id="mm",
+        epoch=0,
+        n_buckets=2,
+        key_col="k",
+    )
+    t = LakeTable(spark, os.path.join(wh, "c0"))
+    t.add_constraint("n_pos", "n > 0")
+    with pytest.raises(RuntimeError, match="n_pos"):
+        merge_many(
+            spark,
+            spark.createDataFrame([("c0", 10, "I", 2, -1, "bad")], MM_FEED),
+            wh,
+            app_id="mm",
+            epoch=1,
+            n_buckets=2,
+            key_col="k",
+            on_violation="fail",
+        )
+    assert t.last_committed_epoch("mm") == 0  # batch retryable
+    assert {row["k"] for row in t.read().collect()} == {1}
+
+
+def test_patch_mode_checks_resolved_rows(spark, tmp_path):
+    """CHECK a <= b with a patched and b carried forward: the raw patch
+    event (b NULL) passes SQL CHECK, but the RESOLVED row violates —
+    enforcement must see the resolved row."""
+    from multi_table_plugins_spark.lakehouse import ConstraintViolation
+
+    sch = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("a", LongType(), True),
+            StructField("b", LongType(), True),
+        ]
+    )
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("k", LongType(), False),
+            StructField("a", LongType(), True),
+            StructField("b", LongType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, key="k")
+    t.merge_into(
+        spark.createDataFrame([(1, "I", 7, 1, 3)], ch), app_id="p", epoch=0
+    )
+    t.add_constraint("a_le_b", "a <= b")
+    with pytest.raises(ConstraintViolation, match="a_le_b"):
+        t.merge_into(
+            spark.createDataFrame([(9, "U", 7, 5, None)], ch),
+            app_id="p",
+            epoch=1,
+            update_mode="patch",
+        )
+    row = t.read().collect()[0]
+    assert (row["a"], row["b"]) == (1, 3)  # nothing written
+
+
+def test_add_constraint_revalidates_after_losing_race(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent merge landing violating rows between the validation
+    scan and the publish must be caught by the retry's re-scan."""
+    from multi_table_plugins_spark.lakehouse import ConstraintViolation
+    from multi_table_plugins_spark.lakehouse.table import CommitConflict
+
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, SCHEMA, key="k")
+    t.merge_into(
+        _b(spark, [(1, "I", 1, 5, "x")]), app_id="c", epoch=0
+    )
+    other = LakeTable(spark, p)
+    orig = t._publish
+    state = {"n": 0}
+
+    def racing_publish(m, added=None):
+        if state["n"] == 0:
+            state["n"] += 1
+            # concurrent writer sneaks a violating row in first
+            other.merge_into(
+                _b(spark, [(10, "I", 2, -1, "bad")]), app_id="other", epoch=0
+            )
+            raise CommitConflict("simulated lost race")
+        return orig(m, added=added)
+
+    monkeypatch.setattr(t, "_publish", racing_publish)
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("n_pos", "n > 0")
+    assert LakeTable(spark, p).constraints() == {}

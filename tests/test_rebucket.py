@@ -173,3 +173,61 @@ def test_table_changes_across_rebucket_boundary(spark, tmp_path):
         for r in t.table_changes(v0).collect()
     }
     assert got == {3: "update", 5: "delete", 77: "insert"}
+
+
+def test_fast_path_handles_rebucketed_table(spark, tmp_path):
+    """After maintain.py rebucket changes ONE table's layout, the
+    multi-table fast path must keep working: the divergent table takes
+    the slow lane (re-bucketed to its own layout), siblings stay on the
+    zero-copy lane, and the warehouse snapshot still advances."""
+    from multi_table_plugins_spark.lakehouse.multi_merge import merge_many
+    from multi_table_plugins_spark.lakehouse.snapshots import latest_snapshot
+    from multi_table_plugins_spark.lakehouse.fileio import get_fileio
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    FEED = StructType(
+        [
+            StructField("table_name", StringType(), False),
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("doc_id", LongType(), False),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+
+    wh = str(tmp_path / "wh")
+    merge_many(
+        spark,
+        spark.createDataFrame(
+            [("t0", i, "I", i, [i], "s") for i in range(10)]
+            + [("t1", 100 + i, "I", i, [i], "s") for i in range(10)],
+            FEED,
+        ),
+        wh,
+        app_id="rb",
+        epoch=0,
+        n_buckets=4,
+    )
+    import os as _os
+
+    LakeTable(spark, _os.path.join(wh, "t0")).rebucket(8)
+    merge_many(
+        spark,
+        spark.createDataFrame(
+            [("t0", 1000, "I", 50, [5], "late"),
+             ("t1", 1001, "I", 50, [5], "late")],
+            FEED,
+        ),
+        wh,
+        app_id="rb",
+        epoch=1,
+        n_buckets=4,
+    )
+    t0 = LakeTable(spark, _os.path.join(wh, "t0"))
+    t1 = LakeTable(spark, _os.path.join(wh, "t1"))
+    assert t0.n_buckets == 8 and t1.n_buckets == 4
+    assert t0.lookup(50).count() == 1  # correctly bucketed in NEW layout
+    assert t1.lookup(50).count() == 1
+    snap = latest_snapshot(get_fileio(None), wh)
+    assert snap["epoch"] == 1  # snapshot still advances past the batch

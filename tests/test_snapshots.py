@@ -184,3 +184,30 @@ def test_snapshot_read_supports_pruning_kwargs(spark, tmp_path):
     snap = WarehouseSnapshot.latest(spark, wh)
     got = snap.read("t0", where=[("doc_id", ">=", 40)])
     assert got.count() == 10
+
+
+def test_isolated_apply_path_publishes_snapshots(spark, tmp_path):
+    """fast_path=False (and the fallback path) must advance the
+    warehouse snapshot on complete batches too."""
+    from multi_table_plugins_spark.streaming.cdc_pipeline import (
+        apply_cdc_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    apply_cdc_batch(
+        spark,
+        _batch(
+            spark,
+            [("t0", 1, "I", 1, 1), ("t1", 2, "I", 1, 1)],
+        ).withColumn("ts", F.current_timestamp()),
+        wh,
+        epoch=0,
+        app_id="iso",
+        fast_path=False,
+        validate=False,
+        n_buckets=2,
+        key_col="doc_id",
+    )
+    snap = WarehouseSnapshot.latest(spark, wh)
+    assert snap is not None and set(snap.tables) == {"t0", "t1"}
+    assert snap.read("t0").count() == 1

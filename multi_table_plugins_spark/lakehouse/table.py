@@ -1189,6 +1189,113 @@ class LakeTable:
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         ).drop(*BOOKKEEPING_COLS)
 
+    def lookup_many(self, key_values: "list") -> DataFrame:
+        """Batched point reads: the live rows of every key in
+        ``key_values`` (scalars, or tuples for compound keys), in one
+        job. The serving-path shape for 'hydrate these N ids':
+
+          * ONE local Spark expression hashes every probe to its bucket
+            (same typed-literal cast as :meth:`lookup`);
+          * only the probed buckets' files are read, and within each
+            bucket a file is read only if its min/max interval OR key
+            bloom admits at least one of that bucket's probes;
+          * rows filter via a broadcast semi-join on the key tuple —
+            never an O(keys) OR-chain predicate.
+
+        Intended for driver-held probe batches (up to ~tens of
+        thousands of keys); for joining two TABLES by key use a plain
+        join, which shuffles instead of broadcasting."""
+        m = self.manifest()
+        keys = self.key_cols
+        schema = self.schema()
+        probes = [
+            list(kv) if isinstance(kv, (list, tuple)) else [kv]
+            for kv in key_values
+        ]
+        if not probes:
+            return self.spark.createDataFrame([], schema)
+        for kv in probes:
+            if len(kv) != len(keys):
+                raise ValueError(
+                    f"lookup_many expects {len(keys)} key value(s) per "
+                    f"probe for {keys}, got {kv!r}"
+                )
+        # same float→integral truncation as lookup (Spark cast semantics)
+        probes = [
+            [
+                int(v)
+                if (
+                    isinstance(schema[k].dataType, _INTEGRAL_TYPES)
+                    and isinstance(v, float)
+                    and v == v
+                    and abs(v) != float("inf")
+                )
+                else v
+                for k, v in zip(keys, kv)
+            ]
+            for kv in probes
+        ]
+        key_struct = StructType([schema[k] for k in keys])
+        probe_df = self.spark.createDataFrame(
+            [tuple(kv) for kv in probes], key_struct
+        )
+        bucket_rows = probe_df.select(
+            *keys, self._bucket_expr().alias("_b")
+        ).collect()
+        by_bucket: dict[str, list] = {}
+        for r in bucket_rows:
+            by_bucket.setdefault(str(r["_b"]), []).append(
+                [r[k] for k in keys]
+            )
+        utc = self._session_tz_is_utc()
+        entries: list[dict] = []
+        n_total = 0
+        for bucket, kvs in by_bucket.items():
+            b = m["buckets"].get(bucket, {})
+            bucket_entries = list(b.get("base", [])) + list(b.get("delta", []))
+            n_total += len(bucket_entries)
+            # per-probe normalized prune values + bloom positions,
+            # computed once per bucket
+            probes_meta = []
+            for kv in kvs:
+                preds = [
+                    (k, "=", nv)
+                    for k, v in zip(keys, kv)
+                    if (nv := _prune_value(v, schema[k].dataType, utc))
+                    is not None
+                ]
+                canon = [
+                    _bloom_norm_value(v, schema[k].dataType)
+                    for k, v in zip(keys, kv)
+                ]
+                pos = (
+                    _bloom_positions("\x1f".join(canon))
+                    if all(c is not None for c in canon)
+                    else None
+                )
+                probes_meta.append((preds, pos))
+            for e in bucket_entries:
+                for preds, pos in probes_meta:
+                    if not _entry_matches(e, preds):
+                        continue
+                    if pos is not None and not _bloom_might_contain(e, pos):
+                        continue
+                    entries.append(e)
+                    break  # one admitting probe is enough
+        self.last_scan_info = {
+            "files_total": n_total,
+            "files_read": len(entries),
+        }
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        target = self._internal_schema(schema)
+        df = self._read_files(entries, target, m)
+        matched = df.join(F.broadcast(probe_df), on=keys, how="leftsemi")
+        resolved = self._lww_resolve(matched, target)
+        return resolved.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(*BOOKKEEPING_COLS)
+
     def vacuum_tombstones(self, lsn_watermark: int) -> dict:
         """Physically drop tombstones whose ``_lsn`` < ``lsn_watermark``
         (safe once the feed can no longer deliver events below the

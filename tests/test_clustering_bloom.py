@@ -290,3 +290,62 @@ def test_bloom_normalization_unit():
     # absent / versionless blooms are conservatively kept
     assert _bloom_might_contain({}, pos)
     assert _bloom_might_contain({"bloom": {"v": 99}}, pos)
+
+
+# ---------------------------------------------------------------------------
+# batched point reads
+# ---------------------------------------------------------------------------
+
+
+def test_lookup_many_matches_individual_lookups(spark, tmp_path):
+    t = _interleaved_table(spark, tmp_path, bloom_filters=True)
+    probes = [41, 42, 123, 999_999]  # three present, one absent
+    got = {
+        r["doc_id"]: r["source"] for r in t.lookup_many(probes).collect()
+    }
+    want = {}
+    for p in probes:
+        for r in t.lookup(p).collect():
+            want[r["doc_id"]] = r["source"]
+    assert got == want and len(got) == 3
+    info = t.last_scan_info
+    assert info["files_read"] < info["files_total"], info
+
+
+def test_lookup_many_empty_and_validation(spark, tmp_path):
+    t = _interleaved_table(spark, tmp_path)
+    assert t.lookup_many([]).count() == 0
+    with pytest.raises(ValueError, match="key value"):
+        t.lookup_many([(1, 2)])
+
+
+def test_lookup_many_compound_keys(spark, tmp_path):
+    from pyspark.sql.types import StructField, StructType
+
+    sch = StructType(
+        [
+            StructField("a", StringType(), False),
+            StructField("b", LongType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    ch = StructType(
+        [
+            StructField("lsn", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("a", StringType(), False),
+            StructField("b", LongType(), False),
+            StructField("v", LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "cm"), sch, key=["a", "b"], n_buckets=2,
+        bloom_filters=True,
+    )
+    rows = [(i, "I", f"k{i % 5}", i, i * 10) for i in range(25)]
+    t.merge_into(spark.createDataFrame(rows, ch), app_id="cm", epoch=0)
+    got = {
+        (r["a"], r["b"]): r["v"]
+        for r in t.lookup_many([("k0", 5), ("k1", 6), ("k9", 1)]).collect()
+    }
+    assert got == {("k0", 5): 50, ("k1", 6): 60}

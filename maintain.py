@@ -36,9 +36,17 @@ constraint --src T [--add NAME EXPR [--no-validate]] [--drop NAME]
     constraints; merges then enforce them (fail, or drop + count with
     merge_into(on_violation="drop")).
 refresh-rollup --src T --view-path P --group-by g1,g2 [--sum c1,c2]
+               [--continuous [--poll-interval S] [--max-polls N]]
     Create or incrementally refresh a materialized GROUP BY view
     (sum_<col> + row_count per group) — O(changes) per refresh via the
     change feed's old/new values (see lakehouse.rollup.refresh_rollup).
+    --continuous runs a restart-safe poll-and-refresh loop (one JSON
+    line per poll; each refresh exactly-once on the source-version
+    ledger).
+drop-column --src T --column C
+    Metadata-only column drop: new schema version, files untouched,
+    the name tombstoned so it can never silently resurrect old values
+    by evolving back in (name-based column mapping).
 
 All commands route driver-side IO through the FileIO seam
 (--fileio local|generic, default $MTP_FILEIO).
@@ -141,6 +149,20 @@ def main() -> None:
     sp.add_argument("--sum", default="", dest="sum_cols",
                     help="comma list of numeric columns to sum")
     sp.add_argument("--n-buckets", type=int, default=32)
+    sp.add_argument("--continuous", action="store_true",
+                    help="poll-and-refresh loop (each refresh is "
+                         "exactly-once on the view's source-version "
+                         "ledger, so the loop is restart-safe)")
+    sp.add_argument("--poll-interval", type=float, default=5.0)
+    sp.add_argument("--max-polls", type=int, default=0,
+                    help="stop after N polls (0 = run until killed)")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
+        "drop-column", help="drop a payload column (metadata-only)"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--column", required=True)
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
 
     a = p.parse_args()
@@ -196,17 +218,52 @@ def main() -> None:
             lt.drop_constraint(a.drop_name)
         out["tables"][a.src] = {"constraints": lt.constraints()}
     elif a.cmd == "refresh-rollup":
+        import time as _time
+
         from multi_table_plugins_spark.lakehouse.rollup import refresh_rollup
 
-        out["tables"][a.src] = refresh_rollup(
-            spark,
-            os.path.join(a.warehouse, a.src),
-            a.view_path,
-            group_cols=[c.strip() for c in a.group_by.split(",") if c.strip()],
-            sum_cols=[c.strip() for c in a.sum_cols.split(",") if c.strip()],
-            io=io,
-            n_buckets=a.n_buckets,
-        )
+        def _refresh():
+            return refresh_rollup(
+                spark,
+                os.path.join(a.warehouse, a.src),
+                a.view_path,
+                group_cols=[
+                    c.strip() for c in a.group_by.split(",") if c.strip()
+                ],
+                sum_cols=[
+                    c.strip() for c in a.sum_cols.split(",") if c.strip()
+                ],
+                io=io,
+                n_buckets=a.n_buckets,
+            )
+
+        if a.continuous:
+            # poll loop over an idempotent exactly-once refresh: each
+            # iteration is one listdir + (only when the source version
+            # advanced) one O(changes) incremental refresh. One JSON
+            # line per poll; kill/restart-safe by construction.
+            polls = 0
+            try:
+                while True:
+                    r = _refresh()
+                    polls += 1
+                    print(json.dumps({"cmd": a.cmd, "src": a.src, **r}),
+                          flush=True)
+                    if a.max_polls and polls >= a.max_polls:
+                        break
+                    _time.sleep(a.poll_interval)
+            except KeyboardInterrupt:
+                pass
+            spark.stop()
+            return
+        out["tables"][a.src] = _refresh()
+    elif a.cmd == "drop-column":
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        sv = lt.drop_column(a.column)
+        out["tables"][a.src] = {
+            "schema_version": sv,
+            "columns": lt.schema().fieldNames(),
+        }
     else:
         only = [t.strip() for t in a.tables.split(",") if t.strip()]
         for t in _tables_of(a.warehouse, io, only):

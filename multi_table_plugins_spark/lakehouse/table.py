@@ -1642,6 +1642,7 @@ class LakeTable:
                         "version": self.manifest()["version"],
                     }
             m = json.loads(json.dumps(self.manifest()))
+            self._check_not_resurrected(m, file_schema)
             if (
                 require_parent_version is not None
                 and m["version"] != require_parent_version
@@ -1751,6 +1752,7 @@ class LakeTable:
                 "bookkeeping and cannot evolve into the table schema"
             )
         for _ in range(10):
+            self._check_not_resurrected(self.manifest(), incoming_payload)
             cur = self.schema()
             merged = merge_schemas(cur, incoming_payload)
             if merged.json() == cur.json():
@@ -1769,6 +1771,82 @@ class LakeTable:
         raise CommitConflict(
             f"gave up after 10 schema-evolution attempts at {self.path}"
         )
+
+    def drop_column(self, name: str) -> int:
+        """Schema evolution downward: DROP a payload column. O(metadata)
+        — publishes a new schema version without the column; data files
+        are never rewritten (reads conform by name, so the column simply
+        stops being projected; time travel to pre-drop versions still
+        shows it). Returns the new schema version.
+
+        The name goes on the manifest's ``dropped_columns`` tombstone
+        list and can never evolve back in: this engine maps columns by
+        NAME (no Iceberg-style field ids), so re-adding the name would
+        silently resurrect pre-drop values from old files for every key
+        not rewritten since — use a fresh name instead. Key columns,
+        bookkeeping columns, and columns referenced by a registered
+        CHECK constraint are refused."""
+        if name in self.key_cols:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if name in BOOKKEEPING_COLS or name == _BUCKET_COL:
+            raise ValueError(f"cannot drop bookkeeping column {name!r}")
+        for _ in range(10):
+            m = json.loads(json.dumps(self.manifest()))
+            cur = schema_from_json(
+                m["schemas"][str(m["current_schema_version"])]
+            )
+            if name not in cur.fieldNames():
+                return m["current_schema_version"]  # idempotent
+            new_schema = StructType(
+                [f for f in cur.fields if f.name != name]
+            )
+            # every registered constraint must still analyze without it
+            probe = self.spark.createDataFrame([], new_schema)
+            for cname, cexpr in (m.get("constraints") or {}).items():
+                try:
+                    probe.select(F.expr(cexpr))
+                except Exception:
+                    raise ValueError(
+                        f"cannot drop {name!r}: constraint {cname!r} "
+                        f"({cexpr}) references it — drop the constraint "
+                        "first"
+                    )
+            new_sv = max(int(s) for s in m["schemas"]) + 1
+            m["schemas"][str(new_sv)] = new_schema.json()
+            m["current_schema_version"] = new_sv
+            m.setdefault("dropped_columns", [])
+            if name not in m["dropped_columns"]:
+                m["dropped_columns"].append(name)
+            self._advance(m)
+            try:
+                self._publish(m)
+                return new_sv
+            except CommitConflict:
+                self._manifest_cache_version = -1
+                continue
+        raise CommitConflict(
+            f"gave up after 10 drop-column attempts at {self.path}"
+        )
+
+    def _check_not_resurrected(
+        self, m: dict, incoming: StructType
+    ) -> None:
+        """Refuse schema evolution that re-introduces a DROPPED column
+        name — name-based column mapping would resurrect pre-drop
+        values from old files."""
+        dropped = set(m.get("dropped_columns") or [])
+        cur = set(
+            schema_from_json(
+                m["schemas"][str(m["current_schema_version"])]
+            ).fieldNames()
+        )
+        back = (set(incoming.fieldNames()) & dropped) - cur
+        if back:
+            raise ValueError(
+                f"column(s) {sorted(back)} were previously dropped from "
+                f"{self.path} and cannot be re-added (name-based column "
+                "mapping would resurrect old values); use a new name"
+            )
 
     # ------------------------------------------------------------------
     # CHECK constraints (Delta-style table expectations)

@@ -126,16 +126,6 @@ def refresh_rollup(
         n_buckets=n_buckets,
         io=io,
     )
-    v_from = view.last_committed_epoch(app_id) or 0
-    if v_from >= v_to:
-        return {
-            "refreshed": False,
-            "v_from": v_from,
-            "v_to": v_to,
-            "groups_changed": 0,
-        }
-
-    ch = src.table_changes(v_from, v_to, include_old=True)
     sum_types = {c: _sum_type(src_schema[c].dataType) for c in sum_cols}
     src_keys = set(src.key_cols)
 
@@ -145,7 +135,7 @@ def refresh_rollup(
         # value (grouping or summing by the source key is legal)
         return F.col(c) if c in src_keys else F.col(f"old_{c}")
 
-    def _signed(side: str, sign: int, live) -> DataFrame:
+    def _signed(ch: DataFrame, side: str, sign: int, live) -> DataFrame:
         new_side = side == "new"
         cols = [
             (F.col(g) if new_side else _old_col(g)).alias(g)
@@ -166,94 +156,132 @@ def refresh_rollup(
         cols.append(F.lit(sign).cast("long").alias("d_cnt"))
         return ch.filter(live).select(*cols)
 
-    contrib = _signed("new", 1, F.col("change_type") != "delete").unionByName(
-        _signed("old", -1, F.col("old_lsn").isNotNull())
-    )
-    # persist: the delta aggregate (one small row per touched group) is
-    # consumed three times — bucket discovery, the current-state join,
-    # and the merge's write job; without the barrier each would re-read
-    # the change range's delta files and re-run the old-state join
-    deltas = contrib.groupBy(*group_cols).agg(
-        *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in sum_cols],
-        F.sum("d_cnt").alias("d_cnt"),
-    ).persist()
-
-    # bounded read-modify-write: current view rows of ONLY the buckets
-    # the touched groups hash into (tombstoned groups count as absent)
-    target = view._internal_schema(view.schema())
-    cur = view._current_rows_for(deltas, target)
-    if cur is not None:
-        live_cur = F.coalesce(F.col(DELETED_COL), F.lit(False)) == False  # noqa: E712
-        cur = cur.select(
-            *[F.col(g).alias(f"_cur_{g}") for g in group_cols],
-            *[
-                F.when(live_cur, F.col(f"sum_{c}")).alias(f"c_sum_{c}")
-                for c in sum_cols
-            ],
-            F.when(live_cur, F.col(ROW_COUNT_COL)).alias("c_cnt"),
-        )
-        # null-SAFE equality: SQL GROUP BY collects NULL group values
-        # into one group, so the join back must match them too — a
-        # plain equality join would never match the stored NULL-group
-        # row and silently reset its aggregates to the delta
-        cond = None
-        for g in group_cols:
-            c = deltas[g].eqNullSafe(cur[f"_cur_{g}"])
-            cond = c if cond is None else cond & c
-        j = deltas.join(cur, cond, "left").drop(
-            *[f"_cur_{g}" for g in group_cols]
-        )
-    else:
-        j = deltas
-        for c in sum_cols:
-            j = j.withColumn(f"c_sum_{c}", F.lit(None).cast(sum_types[c]))
-        j = j.withColumn("c_cnt", F.lit(None).cast("long"))
-
-    new_cnt = F.coalesce(F.col("c_cnt"), F.lit(0)) + F.col("d_cnt")
-    out_cols = [F.col(g) for g in group_cols]
-    for c in sum_cols:
-        out_cols.append(
-            (
-                F.coalesce(F.col(f"c_sum_{c}"), F.lit(0).cast(sum_types[c]))
-                + F.col(f"d_sum_{c}")
-            ).alias(f"sum_{c}")
-        )
-    out_cols.append(new_cnt.alias(ROW_COUNT_COL))
-    out_cols.append(
-        F.when(new_cnt <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op")
-    )
-    # one refresh writes each group at most once, so a constant
-    # per-refresh lsn (the source version) is strictly monotone across
-    # refreshes — exactly what LWW needs
-    out_cols.append(F.lit(int(v_to)).cast("long").alias("lsn"))
-    batch = j.select(*out_cols)
-
     from pyspark.sql import Observation
 
-    obs = Observation()
-    batch = batch.observe(obs, F.count(F.lit(1)).alias("groups"))
-    try:
-        res = view.merge_into(batch, app_id=app_id, epoch=v_to)
-        if res.get("skipped"):
-            # a concurrent refresher beat us to this source version; no
-            # action ran on the observed batch, so obs.get would block
-            # forever — return the no-op without touching it
+    from .table import CommitConflict
+
+    # The refresh is read-modify-write over the VIEW (deltas apply on
+    # top of its current rows), so the merge pins the exact view
+    # version that state was read at: a concurrent refresher landing in
+    # between conflicts and the WHOLE refresh recomputes against the
+    # new state — two racing refreshers (duplicate scheduler fires, a
+    # loop plus a one-shot) can therefore never double-apply a change
+    # range.
+    for attempt in range(5):
+        v_from = view.last_committed_epoch(app_id) or 0
+        if v_from >= v_to:
             return {
                 "refreshed": False,
                 "v_from": v_from,
                 "v_to": v_to,
                 "groups_changed": 0,
+            }
+        view_v = view.manifest()["version"]  # pin BEFORE reading state
+
+        ch = src.table_changes(v_from, v_to, include_old=True)
+        contrib = _signed(
+            ch, "new", 1, F.col("change_type") != "delete"
+        ).unionByName(_signed(ch, "old", -1, F.col("old_lsn").isNotNull()))
+        # persist: the delta aggregate (one small row per touched
+        # group) is consumed three times — bucket discovery, the
+        # current-state join, and the merge's write job; without the
+        # barrier each would re-read the change range's delta files
+        # and re-run the old-state join
+        deltas = contrib.groupBy(*group_cols).agg(
+            *[F.sum(f"d_sum_{c}").alias(f"d_sum_{c}") for c in sum_cols],
+            F.sum("d_cnt").alias("d_cnt"),
+        ).persist()
+
+        # bounded read-modify-write: current view rows of ONLY the
+        # buckets the touched groups hash into (tombstoned groups
+        # count as absent)
+        target = view._internal_schema(view.schema())
+        cur = view._current_rows_for(deltas, target)
+        if cur is not None:
+            live_cur = F.coalesce(F.col(DELETED_COL), F.lit(False)) == False  # noqa: E712
+            cur = cur.select(
+                *[F.col(g).alias(f"_cur_{g}") for g in group_cols],
+                *[
+                    F.when(live_cur, F.col(f"sum_{c}")).alias(f"c_sum_{c}")
+                    for c in sum_cols
+                ],
+                F.when(live_cur, F.col(ROW_COUNT_COL)).alias("c_cnt"),
+            )
+            # null-SAFE equality: SQL GROUP BY collects NULL group
+            # values into one group, so the join back must match them
+            # too — a plain equality join would never match the stored
+            # NULL-group row and silently reset its aggregates
+            cond = None
+            for g in group_cols:
+                c = deltas[g].eqNullSafe(cur[f"_cur_{g}"])
+                cond = c if cond is None else cond & c
+            j = deltas.join(cur, cond, "left").drop(
+                *[f"_cur_{g}" for g in group_cols]
+            )
+        else:
+            j = deltas
+            for c in sum_cols:
+                j = j.withColumn(
+                    f"c_sum_{c}", F.lit(None).cast(sum_types[c])
+                )
+            j = j.withColumn("c_cnt", F.lit(None).cast("long"))
+
+        new_cnt = F.coalesce(F.col("c_cnt"), F.lit(0)) + F.col("d_cnt")
+        out_cols = [F.col(g) for g in group_cols]
+        for c in sum_cols:
+            out_cols.append(
+                (
+                    F.coalesce(
+                        F.col(f"c_sum_{c}"), F.lit(0).cast(sum_types[c])
+                    )
+                    + F.col(f"d_sum_{c}")
+                ).alias(f"sum_{c}")
+            )
+        out_cols.append(new_cnt.alias(ROW_COUNT_COL))
+        out_cols.append(
+            F.when(new_cnt <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op")
+        )
+        # one refresh writes each group at most once, so a constant
+        # per-refresh lsn (the source version) is strictly monotone
+        # across refreshes — exactly what LWW needs
+        out_cols.append(F.lit(int(v_to)).cast("long").alias("lsn"))
+        batch = j.select(*out_cols)
+
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("groups"))
+        try:
+            try:
+                res = view.merge_into(
+                    batch,
+                    app_id=app_id,
+                    epoch=v_to,
+                    require_parent_version=view_v,
+                )
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+                continue  # recompute against the winner's view state
+            if res.get("skipped"):
+                # a concurrent refresher beat us to this source
+                # version; no action ran on the observed batch, so
+                # obs.get would block forever — return the no-op
+                # without touching it
+                return {
+                    "refreshed": False,
+                    "v_from": v_from,
+                    "v_to": v_to,
+                    "groups_changed": 0,
+                    "snapshot_id": res.get("snapshot_id"),
+                }
+            return {
+                "refreshed": True,
+                "v_from": v_from,
+                "v_to": v_to,
+                "groups_changed": int(obs.get.get("groups", 0) or 0),
                 "snapshot_id": res.get("snapshot_id"),
             }
-        return {
-            "refreshed": True,
-            "v_from": v_from,
-            "v_to": v_to,
-            "groups_changed": int(obs.get.get("groups", 0) or 0),
-            "snapshot_id": res.get("snapshot_id"),
-        }
-    finally:
-        deltas.unpersist()
+        finally:
+            deltas.unpersist()
 
 
 def rollup_read(spark: SparkSession, view_path: str, io=None) -> DataFrame:

@@ -363,6 +363,87 @@ def _bloom_norm_value(v, dtype) -> "str | None":
     return None
 
 
+#: sentinel: a probe value whose cast to the key column's type can only
+#: yield NULL — it matches no row (and cannot enter a typed probe frame)
+_UNMATCHABLE = object()
+
+
+def _probe_value(v, dtype):
+    """Convert a Python probe value to the key COLUMN's native Python
+    representation — mirroring Spark's literal cast — so bucket
+    hashing, stats pruning, bloom probing, and (for ``lookup_many``)
+    the typed probe frame all target the IDENTICAL key. Returns
+    ``_UNMATCHABLE`` when the cast can only produce NULL (such a probe
+    matches no row; callers return/contribute nothing for it instead
+    of raising where single-key ``lookup`` would have returned empty)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if v is None:
+        return _UNMATCHABLE
+    if isinstance(dtype, _INTEGRAL_TYPES):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            if v != v or abs(v) == float("inf"):
+                return _UNMATCHABLE
+            return int(v)  # Spark double→long truncates toward zero
+        if isinstance(v, str):
+            try:
+                return int(v.strip())
+            except ValueError:
+                return _UNMATCHABLE
+        return _UNMATCHABLE
+    if isinstance(dtype, (DoubleType, FloatType)):
+        if isinstance(v, (bool, int, float)):
+            return float(v)
+        if isinstance(v, str):
+            try:
+                return float(v.strip())
+            except ValueError:
+                return _UNMATCHABLE
+        return _UNMATCHABLE
+    if isinstance(dtype, StringType):
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bool):
+            return "true" if v else "false"  # Spark's boolean→string
+        if isinstance(v, (int, float)):
+            return str(v)
+        return _UNMATCHABLE
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, bool):
+            return _UNMATCHABLE
+        if isinstance(v, (int, float)):
+            if isinstance(v, float) and (v != v or abs(v) == float("inf")):
+                return _UNMATCHABLE
+            # epoch seconds (Spark numeric→timestamp); UTC session
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=v)
+        return _UNMATCHABLE
+    if isinstance(dtype, DateType):
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        return _UNMATCHABLE
+    if isinstance(dtype, BooleanType):
+        return v if isinstance(v, bool) else _UNMATCHABLE
+    return v  # decimal/binary/...: pass through unchanged
+
+
 def _bloom_positions(canon: str) -> "list[int]":
     """The _BLOOM_K bit positions for a canonical key string (classic
     double hashing h1 + i*h2 over the md5 digest)."""
@@ -1117,21 +1198,17 @@ class LakeTable:
                 f"got {len(values)}"
             )
         schema = self.schema()
-        # mirror Spark's literal cast up front: a float probe on an
-        # integral key truncates toward zero (Spark double→long), so
-        # stats pruning and the bloom probe target the SAME key the
-        # bucket hash and row filter will match
+        # mirror Spark's literal cast up front (shared with
+        # lookup_many): stats pruning and the bloom probe must target
+        # the SAME key the bucket hash and row filter will match; a
+        # probe whose cast can only yield NULL matches nothing
         values = [
-            int(v)
-            if (
-                isinstance(schema[k].dataType, _INTEGRAL_TYPES)
-                and isinstance(v, float)
-                and v == v
-                and abs(v) != float("inf")
-            )
-            else v
+            _probe_value(v, schema[k].dataType)
             for k, v in zip(keys, values)
         ]
+        if any(v is _UNMATCHABLE for v in values):
+            self.last_scan_info = {"files_total": 0, "files_read": 0}
+            return self.spark.createDataFrame([], schema)
         # cast each literal to its key COLUMN's type first: murmur3
         # hashes int32 and int64 (etc.) differently, so an untyped
         # literal would silently pick the wrong bucket for non-string keys
@@ -1212,29 +1289,25 @@ class LakeTable:
             list(kv) if isinstance(kv, (list, tuple)) else [kv]
             for kv in key_values
         ]
-        if not probes:
-            return self.spark.createDataFrame([], schema)
         for kv in probes:
             if len(kv) != len(keys):
                 raise ValueError(
                     f"lookup_many expects {len(keys)} key value(s) per "
                     f"probe for {keys}, got {kv!r}"
                 )
-        # same float→integral truncation as lookup (Spark cast semantics)
+        # the same probe-cast normalization as lookup(); probes whose
+        # cast can only yield NULL match no row — silently contribute
+        # nothing, exactly like the per-key lookup returning empty
         probes = [
-            [
-                int(v)
-                if (
-                    isinstance(schema[k].dataType, _INTEGRAL_TYPES)
-                    and isinstance(v, float)
-                    and v == v
-                    and abs(v) != float("inf")
-                )
-                else v
-                for k, v in zip(keys, kv)
-            ]
+            [_probe_value(v, schema[k].dataType) for k, v in zip(keys, kv)]
             for kv in probes
         ]
+        probes = [
+            kv for kv in probes if not any(v is _UNMATCHABLE for v in kv)
+        ]
+        if not probes:
+            self.last_scan_info = {"files_total": 0, "files_read": 0}
+            return self.spark.createDataFrame([], schema)
         key_struct = StructType([schema[k] for k in keys])
         probe_df = self.spark.createDataFrame(
             [tuple(kv) for kv in probes], key_struct
@@ -1796,7 +1869,14 @@ class LakeTable:
                 m["schemas"][str(m["current_schema_version"])]
             )
             if name not in cur.fieldNames():
-                return m["current_schema_version"]  # idempotent
+                if name in (m.get("dropped_columns") or []):
+                    return m["current_schema_version"]  # idempotent re-drop
+                # a typo'd name silently "succeeding" would let an
+                # operator believe a (PII) column is gone when it isn't
+                raise ValueError(
+                    f"no column {name!r} in {self.path} "
+                    f"(columns: {cur.fieldNames()})"
+                )
             new_schema = StructType(
                 [f for f in cur.fields if f.name != name]
             )
@@ -2057,6 +2137,7 @@ class LakeTable:
         compact: bool | None = None,
         update_mode: str = "row",
         on_violation: str = "fail",
+        require_parent_version: int | None = None,
     ) -> dict:
         """MERGE a batch of change events into the table (upsert + delete,
         last-writer-wins by ``lsn_col``). Exactly-once: if ``epoch`` is not
@@ -2131,11 +2212,23 @@ class LakeTable:
         # whole read-resolve-write cycle retries against the new state
         # (bounded attempts, then a loud CommitConflict — never silent
         # column loss). Row mode is a plain append, retried only if a
-        # concurrent rebucket() changed the layout under the batch.
-        attempts = 5 if update_mode == "patch" else 3
+        # concurrent rebucket() changed the layout under the batch —
+        # UNLESS the caller pinned ``require_parent_version`` (its batch
+        # was derived from that exact state, e.g. a rollup refresh):
+        # then a conflict propagates immediately so the CALLER can
+        # recompute, because re-applying the same stale batch is
+        # exactly the bug the pin exists to prevent.
+        if update_mode == "patch":
+            attempts = 5
+        elif require_parent_version is not None:
+            attempts = 1
+        else:
+            attempts = 3
         for attempt in range(attempts):
             parent_v = (
-                self.manifest()["version"] if update_mode == "patch" else None
+                self.manifest()["version"]
+                if update_mode == "patch"
+                else require_parent_version
             )
             # the target schema is (re)read INSIDE the loop: a retry
             # past a concurrent commit that evolved the schema must

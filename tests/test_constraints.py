@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import pytest
 from pyspark.sql.types import (
     LongType,
@@ -164,7 +166,7 @@ def test_constraint_cli(spark, tmp_path):
     r = subprocess.run(
         [
             sys.executable,
-            "/root/repo/maintain.py",
+            os.path.join(REPO, "maintain.py"),
             "constraint",
             "--warehouse",
             str(wh),

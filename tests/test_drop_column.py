@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import pytest
 from pyspark.sql.types import (
     LongType,
@@ -120,7 +122,7 @@ def test_rollup_continuous_poll_loop_cli(spark, tmp_path):
     r = subprocess.run(
         [
             sys.executable,
-            "/root/repo/maintain.py",
+            os.path.join(REPO, "maintain.py"),
             "refresh-rollup",
             "--warehouse",
             str(wh),

@@ -320,3 +320,36 @@ def test_concurrent_duplicate_refresh_is_noop_not_hang(
         "groups_changed": 0,
         "snapshot_id": "raced",
     }
+
+
+def test_racing_refreshers_never_double_apply(spark, tmp_path, monkeypatch):
+    """Two refreshers racing the same change range: the loser's merge
+    is pinned to the view version its state was read at, conflicts, and
+    recomputes — the view never counts a change range twice."""
+    src_p, view_p = str(tmp_path / "src"), str(tmp_path / "view")
+    t = LakeTable.create(spark, src_p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(i, "I", i, "g", 10) for i in range(4)], 0)
+    refresh_rollup(spark, src_p, view_p, ["grp"], ["val"], n_buckets=2)
+    _apply(spark, t, [(10, "I", 100, "g", 10)], 1)
+
+    # simulate the race: when OUR refresh reaches its merge, a rival
+    # refresher has already applied the same change range
+    orig_merge = LakeTable.merge_into
+    fired = {"n": 0}
+
+    def racing_merge(self, *a, **kw):
+        if fired["n"] == 0 and self.path == view_p:
+            fired["n"] += 1
+            # rival completes the identical refresh first (fresh handles)
+            refresh_rollup(
+                spark, src_p, view_p + "", ["grp"], ["val"], n_buckets=2
+            )
+        return orig_merge(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "merge_into", racing_merge)
+    r = refresh_rollup(spark, src_p, view_p, ["grp"], ["val"], n_buckets=2)
+    monkeypatch.setattr(LakeTable, "merge_into", orig_merge)
+    # our refresh observed the rival's ledger advance and no-opped (or
+    # recomputed to the identical state) — never a double count
+    assert _view_state(spark, view_p) == _recompute(t) == {"g": (50, 5)}
+    assert fired["n"] == 1

@@ -615,10 +615,11 @@ def test_maintain_rejects_minor_cluster_combo(tmp_path):
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [
             sys.executable,
-            "/root/repo/maintain.py",
+            os.path.join(repo, "maintain.py"),
             "compact",
             "--warehouse",
             str(tmp_path),

@@ -297,9 +297,22 @@ _STATS_V = 2
 # _BLOOM_K positions mod _BLOOM_M.
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 8192  # bits (1 KiB) — ~1% fp at ~850 keys/file, 4 hashes
+_BLOOM_M_MIN = 8192  # bits (1 KiB) — ~1% fp at ~850 keys/file, 4 hashes
+_BLOOM_M_MAX = 1 << 17  # 16 KiB — manifest-size ceiling per entry
 _BLOOM_K = 4
 _BLOOM_V = 1
+
+
+def _bloom_m_for(rows: int) -> int:
+    """Bits for a file of ``rows`` keys: ~10 bits/key (≈1% fp at k=4),
+    power of two, clamped to [1 KiB, 16 KiB]. Undersizing silently
+    degrades to high false-positive rates (measured: 1 KiB at ~3k
+    keys/file reads 5.3 of 16 files instead of ~1), oversizing bloats
+    every manifest entry."""
+    m = _BLOOM_M_MIN
+    while rows * 10 > m and m < _BLOOM_M_MAX:
+        m <<= 1
+    return m
 
 
 def _bloom_col_expr(col: str, dtype):
@@ -444,42 +457,48 @@ def _probe_value(v, dtype):
     return v  # decimal/binary/...: pass through unchanged
 
 
-def _bloom_positions(canon: str) -> "list[int]":
-    """The _BLOOM_K bit positions for a canonical key string (classic
-    double hashing h1 + i*h2 over the md5 digest)."""
+def _bloom_hashes(canon: str) -> "tuple[int, int]":
+    """(h1, h2) of the canonical key string for classic double hashing
+    ``h1 + i*h2 mod m`` — m is per-entry (adaptive sizing), so the
+    positions are derived at probe time from each entry's own m."""
     import hashlib
 
     h = hashlib.md5(canon.encode("utf-8")).hexdigest()
-    h1 = int(h[:12], 16)
-    h2 = int(h[12:24], 16) | 1
-    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+    return int(h[:12], 16), int(h[12:24], 16) | 1
 
 
-def _bloom_pack(positions: "list[int]") -> str:
+def _bloom_pack(positions: "list[int]", m: int) -> str:
     """Bit positions → base64 bitset (little-endian within bytes)."""
     import base64
 
-    buf = bytearray(_BLOOM_M // 8)
+    buf = bytearray(m // 8)
     for p in positions:
         buf[p >> 3] |= 1 << (p & 7)
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
-def _bloom_might_contain(entry: dict, positions: "list[int]") -> bool:
+def _bloom_might_contain(entry: dict, hashes: "tuple[int, int]") -> bool:
     """Could this file entry's bloom contain the key? Conservatively
     True for absent/unknown-version/garbled blooms."""
     import base64
 
     b = entry.get("bloom")
-    if not b or b.get("v") != _BLOOM_V or b.get("m") != _BLOOM_M:
+    if not b or b.get("v") != _BLOOM_V:
         return True
+    m = b.get("m")
+    if not isinstance(m, int) or m <= 0 or m & (m - 1):
+        return True  # not a power of two — unknown producer
     try:
         buf = base64.b64decode(b["b64"])
     except Exception:
         return True
-    if len(buf) != _BLOOM_M // 8:
+    if len(buf) != m // 8:
         return True
-    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+    h1, h2 = hashes
+    return all(
+        buf[p >> 3] & (1 << (p & 7))
+        for p in ((h1 + i * h2) % m for i in range(_BLOOM_K))
+    )
 
 
 def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
@@ -1244,9 +1263,9 @@ class LakeTable:
             for k, v in zip(keys, values)
         ]
         if all(p is not None for p in canon_parts):
-            positions = _bloom_positions("\x1f".join(canon_parts))
+            hashes = _bloom_hashes("\x1f".join(canon_parts))
             entries = [
-                e for e in entries if _bloom_might_contain(e, positions)
+                e for e in entries if _bloom_might_contain(e, hashes)
             ]
         self.last_scan_info = {
             "files_total": n_total,
@@ -1342,7 +1361,7 @@ class LakeTable:
                     for k, v in zip(keys, kv)
                 ]
                 pos = (
-                    _bloom_positions("\x1f".join(canon))
+                    _bloom_hashes("\x1f".join(canon))
                     if all(c is not None for c in canon)
                     else None
                 )
@@ -1609,9 +1628,14 @@ class LakeTable:
             .cast("long")
             .bitwiseOR(F.lit(1))
         )
+        # one m per commit, sized for its LARGEST file (adaptive —
+        # undersized blooms quietly degrade to near-useless fp rates)
+        m_bits = _bloom_m_for(
+            max(e.get("rows") or 0 for es in entries.values() for e in es)
+        )
         pos = F.array(
             *[
-                F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_M)).cast("int")
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("int")
                 for i in range(_BLOOM_K)
             ]
         )
@@ -1638,9 +1662,9 @@ class LakeTable:
                 if ps is not None:
                     e["bloom"] = {
                         "v": _BLOOM_V,
-                        "m": _BLOOM_M,
+                        "m": m_bits,
                         "k": _BLOOM_K,
-                        "b64": _bloom_pack(ps),
+                        "b64": _bloom_pack(ps, m_bits),
                     }
 
     def _bucket_expr(self, n_buckets: int | None = None):

@@ -28,9 +28,10 @@ from pyspark.sql.types import (
 
 from multi_table_plugins_spark.lakehouse import LakeTable
 from multi_table_plugins_spark.lakehouse.table import (
+    _bloom_hashes,
+    _bloom_m_for,
     _bloom_might_contain,
     _bloom_norm_value,
-    _bloom_positions,
 )
 
 SCHEMA = StructType(
@@ -277,19 +278,31 @@ def test_bloom_normalization_unit():
         dt.datetime(1970, 1, 1, 0, 0, 1), TimestampType()
     ) == "1000000"
     assert _bloom_norm_value(1, TimestampType()) == "1000000"
-    # probe positions round-trip through the packed bitset
-    pos = _bloom_positions("k7\x1f17")
-    from multi_table_plugins_spark.lakehouse.table import _bloom_pack
+    # probe hashes round-trip through the packed bitset at BOTH sizes
+    from multi_table_plugins_spark.lakehouse.table import (
+        _BLOOM_K,
+        _bloom_pack,
+    )
 
-    entry = {"bloom": {"v": 1, "m": 8192, "k": 4, "b64": _bloom_pack(pos)}}
-    assert _bloom_might_contain(entry, pos)
-    # a different key whose positions are not a subset must miss
-    other = _bloom_positions("k7\x1f18")
-    if not set(other) <= set(pos):
-        assert not _bloom_might_contain(entry, other)
-    # absent / versionless blooms are conservatively kept
-    assert _bloom_might_contain({}, pos)
-    assert _bloom_might_contain({"bloom": {"v": 99}}, pos)
+    hashes = _bloom_hashes("k7\x1f17")
+    for m in (8192, 65536):
+        h1, h2 = hashes
+        pos = [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+        entry = {"bloom": {"v": 1, "m": m, "k": 4, "b64": _bloom_pack(pos, m)}}
+        assert _bloom_might_contain(entry, hashes)
+        # a different key whose positions are not a subset must miss
+        oh1, oh2 = _bloom_hashes("k7\x1f18")
+        other = [(oh1 + i * oh2) % m for i in range(_BLOOM_K)]
+        if not set(other) <= set(pos):
+            assert not _bloom_might_contain(entry, (oh1, oh2))
+    # absent / versionless / garbled blooms are conservatively kept
+    assert _bloom_might_contain({}, hashes)
+    assert _bloom_might_contain({"bloom": {"v": 99}}, hashes)
+    assert _bloom_might_contain({"bloom": {"v": 1, "m": 999}}, hashes)
+    # adaptive sizing: ~10 bits/key, clamped to [1 KiB, 16 KiB]
+    assert _bloom_m_for(100) == 8192
+    assert _bloom_m_for(3200) == 32768
+    assert _bloom_m_for(10**7) == 1 << 17
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,11 @@ def main() -> None:
                     "files": files,
                     "bytes": size,
                     "rows": lt.count(),
+                    "n_buckets": m["n_buckets"],
+                    "key": m["key"],
+                    "bloom_filters": bool(m.get("bloom_filters")),
+                    "constraints": m.get("constraints") or {},
+                    "dropped_columns": m.get("dropped_columns") or [],
                 }
             elif a.cmd == "compact":
                 if a.minor:

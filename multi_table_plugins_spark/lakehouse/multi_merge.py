@@ -292,13 +292,14 @@ def merge_many(
                 io.add_file(src, dst)
                 # same single footer read as the slow path: row count +
                 # key/_lsn min/max so fast-path files are file-skippable
-                rows, stats = _footer_meta(dst, key_cols + [LSN_COL], io)
+                rows, stats, rgs = _footer_meta(dst, key_cols + [LSN_COL], io)
                 total_rows += rows
                 entry = {
                     "path": rel,
                     "sv": 0,  # set by commit_delta
                     "bytes": io.getsize(dst),
                     "rows": rows,
+                    "rgs": rgs,
                 }
                 if stats:
                     entry["stats"] = stats

@@ -155,8 +155,9 @@ def _stat_value(v):
 
 def _footer_meta(
     path: str, stat_cols: "list[str]", io: FileIO | None = None
-) -> "tuple[int, dict]":
-    """(num_rows, {col: [min, max]}) from ONE parquet footer read.
+) -> "tuple[int, dict, int]":
+    """(num_rows, {col: [min, max]}, num_row_groups) from ONE parquet
+    footer read.
 
     Stats are aggregated across row groups and recorded only when every
     row group has complete min/max for the column (a single stats-less
@@ -188,7 +189,7 @@ def _footer_meta(
                 hi = mx if hi is None or mx > hi else hi
             if ok and lo is not None:
                 stats[col] = [lo, hi]
-        return md.num_rows, stats
+        return md.num_rows, stats, md.num_row_groups
 
     if io is None:
         return _meta(path)
@@ -1585,7 +1586,7 @@ class LakeTable:
                 # key-column min/max for manifest-level file skipping
                 # (read-time pruning is then pure driver-side interval
                 # math — the Iceberg data-skipping shape)
-                rows, stats = _footer_meta(
+                rows, stats, rgs = _footer_meta(
                     full, self.key_cols + [LSN_COL], self.io
                 )
                 entry = {
@@ -1593,6 +1594,7 @@ class LakeTable:
                     "sv": sv,
                     "bytes": self.io.getsize(full),
                     "rows": rows,
+                    "rgs": rgs,
                 }
                 if stats:
                     entry["stats"] = stats

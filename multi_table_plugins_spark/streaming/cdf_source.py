@@ -91,15 +91,26 @@ def _load_commit_log(io, table_path: str, version: int) -> "dict | None":
 
 def _added_delta_files(
     io, table_path: str, v_from: int, v_to: int
-) -> "list[tuple[str, int, int]]":
-    """(relative path, schema version, commit version) of every delta
-    file added by commits in ``(v_from, v_to]`` — the identical
-    per-version walk as LakeTable.table_changes: each version's
-    ``commit-<v>.json`` sidecar (O(new files) driver IO, and empty for
-    compaction/vacuum/schema commits so their rewritten delta files are
-    never re-emitted as changes); versions without a sidecar (legacy
-    warehouse, crash window) fall back to diffing the full cumulative
-    manifest against the parent version's."""
+) -> "list[tuple[str, int, int, int, int]]":
+    """(relative path, schema version, commit version, rows, row
+    groups) of every delta file added by commits in ``(v_from, v_to]``
+    — the identical per-version walk as LakeTable.table_changes: each
+    version's ``commit-<v>.json`` sidecar (O(new files) driver IO, and
+    empty for compaction/vacuum/schema commits so their rewritten delta
+    files are never re-emitted as changes); versions without a sidecar
+    (legacy warehouse, crash window) fall back to diffing the full
+    cumulative manifest against the parent version's. rows/rgs are 0
+    for legacy entries that predate the metadata."""
+
+    def _rec(e: dict, v: int):
+        return (
+            e["path"],
+            int(e["sv"]),
+            v,
+            int(e.get("rows") or 0),
+            int(e.get("rgs") or 0),
+        )
+
     out = []
     prev: "tuple[int, set[str]] | None" = None  # (version, delta paths)
     for v in range(v_from + 1, v_to + 1):
@@ -107,7 +118,7 @@ def _added_delta_files(
         if c is not None:
             for es in c.get("added_delta", {}).values():
                 for e in es:
-                    out.append((e["path"], int(e["sv"]), v))
+                    out.append(_rec(e, v))
             prev = None
             continue
         if prev is None or prev[0] != v - 1:
@@ -127,8 +138,46 @@ def _added_delta_files(
                 paths[e["path"]] = e
         for p, e in paths.items():
             if p not in prev[1]:
-                out.append((p, int(e["sv"]), v))
+                out.append(_rec(e, v))
         prev = (v, set(paths))
+    return out
+
+
+#: a delta file beyond this many rows is split into one stream
+#: partition per row-group chunk (parallelism inside one giant file —
+#: a skewed micro-batch must not serialize on a single reader task)
+CDF_SPLIT_ROWS = 1_000_000
+
+
+def _partitions_for(
+    table_path: str,
+    files: "list[tuple[str, int, int, int, int]]",
+    table_name: "str | None" = None,
+) -> "list[CDFPartition]":
+    out = []
+    for rel, _sv, cv, rows, rgs in files:
+        full = os.path.join(table_path, rel)
+        if rows > CDF_SPLIT_ROWS and rgs > 1:
+            n_chunks = min(rgs, -(-rows // CDF_SPLIT_ROWS))
+            step = rgs / n_chunks
+            bounds = [round(i * step) for i in range(n_chunks)] + [rgs]
+            for i in range(n_chunks):
+                if bounds[i] < bounds[i + 1]:
+                    out.append(
+                        CDFPartition(
+                            file_path=full,
+                            commit_version=cv,
+                            table_name=table_name,
+                            rg_lo=bounds[i],
+                            rg_hi=bounds[i + 1],
+                        )
+                    )
+        else:
+            out.append(
+                CDFPartition(
+                    file_path=full, commit_version=cv, table_name=table_name
+                )
+            )
     return out
 
 
@@ -167,6 +216,10 @@ class CDFPartition(InputPartition):
     file_path: str  # absolute
     commit_version: int
     table_name: "str | None" = None  # set in warehouse (multi-table) mode
+    #: row-group slice [rg_lo, rg_hi) for oversized files split into
+    #: several partitions; None = read the whole file
+    rg_lo: "int | None" = None
+    rg_hi: "int | None" = None
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
@@ -191,13 +244,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         files = _added_delta_files(
             self._io, self._path, start["version"], end["version"]
         )
-        return [
-            CDFPartition(
-                file_path=os.path.join(self._path, rel),
-                commit_version=cv,
-            )
-            for rel, _sv, cv in files
-        ]
+        return _partitions_for(self._path, files)
 
     def read(self, partition: CDFPartition):
         """Executor-side: one pyarrow parquet read, conformed to the
@@ -210,7 +257,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_out = to_arrow_schema(self._out)
-        t = pq.read_table(partition.file_path)
+        if partition.rg_lo is not None:
+            t = pq.ParquetFile(partition.file_path).read_row_groups(
+                list(range(partition.rg_lo, partition.rg_hi))
+            )
+        else:
+            t = pq.read_table(partition.file_path)
         n = t.num_rows
         cols = {name: t.column(name) for name in t.column_names}
         deleted = cols.get(DELETED_COL)
@@ -303,16 +355,13 @@ class WarehouseCDFStreamReader(LakeCDFStreamReader):
             v_from = s.get(t, 0)
             if v_to <= v_from:
                 continue
-            for rel, _sv, cv in _added_delta_files(
-                self._io, self._tpath(t), v_from, v_to
-            ):
-                out.append(
-                    CDFPartition(
-                        file_path=os.path.join(self._tpath(t), rel),
-                        commit_version=cv,
-                        table_name=t,
-                    )
+            out.extend(
+                _partitions_for(
+                    self._tpath(t),
+                    _added_delta_files(self._io, self._tpath(t), v_from, v_to),
+                    table_name=t,
                 )
+            )
         return out
 
 

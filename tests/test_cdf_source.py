@@ -371,3 +371,68 @@ def test_replicate_survives_lost_checkpoint(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"]: r["tokens"] for r in dst.read().collect()}
     assert got[3] == [33] and len(got) == 10
+
+
+def test_partition_splitting_math():
+    """Unit: oversized files split into row-group chunks; small files
+    and legacy entries (rows/rgs = 0) stay whole."""
+    from multi_table_plugins_spark.streaming.cdf_source import (
+        _partitions_for,
+    )
+
+    small = ("a.parquet", 1, 3, 10_000, 4)
+    legacy = ("b.parquet", 1, 3, 0, 0)
+    big = ("c.parquet", 1, 4, 3_500_000, 10)
+    parts = _partitions_for("/t", [small, legacy, big])
+    whole = [p for p in parts if p.rg_lo is None]
+    split = [p for p in parts if p.rg_lo is not None]
+    assert len(whole) == 2
+    assert len(split) == 4  # ceil(3.5M / 1M) chunks over 10 rgs
+    assert all(p.file_path == "/t/c.parquet" for p in split)
+    # chunks cover [0, 10) exactly once, in order, no overlap
+    covered = sorted((p.rg_lo, p.rg_hi) for p in split)
+    assert covered[0][0] == 0 and covered[-1][1] == 10
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(covered, covered[1:]):
+        assert a_hi == b_lo
+    assert all(p.commit_version == 4 for p in split)
+
+
+def test_oversized_delta_file_streams_exactly_once(spark, tmp_path):
+    """End-to-end: a delta file above the split threshold with many
+    row groups streams as multiple partitions and still yields every
+    change event exactly once."""
+    p = str(tmp_path / "t")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 1 << 20)  # ~1 MB row groups
+    try:
+        t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=1)
+        big = (
+            spark.range(1_100_000)
+            .select(
+                F.col("id").alias("lsn"),
+                F.lit("U").alias("op"),
+                F.col("id").alias("doc_id"),
+                F.array(F.col("id").cast("int")).alias("tokens"),
+                F.lit("s").alias("source"),
+            )
+        )
+        t.merge_into(big, app_id="big", epoch=0)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+    m = t.manifest()
+    entries = [e for b in m["buckets"].values() for e in b.get("delta", [])]
+    assert sum(e["rows"] for e in entries) == 1_100_000
+    # the split path is genuinely exercised: at least one file is both
+    # above the row threshold and multi-row-group
+    assert any(e["rows"] > 1_000_000 and e.get("rgs", 0) > 1 for e in entries), [
+        (e["rows"], e.get("rgs")) for e in entries
+    ]
+    _run_to_parquet(spark, p, out, ck, starting=0)
+    got = spark.read.parquet(out)
+    assert got.count() == 1_100_000
+    assert got.select("_lsn").distinct().count() == 1_100_000

@@ -289,13 +289,14 @@ _STATS_V = 2
 # tuple closes that gap: lookup() skips any file whose bloom
 # definitively excludes the probe key. Build is DISTRIBUTED — one extra
 # Spark job per delta commit reads back the just-written files' key
-# columns (page-cache hot) and aggregates ≤ _BLOOM_M set bit positions
-# per file via input_file_name(); the driver only packs bitsets, never
+# columns (page-cache hot) and aggregates the set bit positions per
+# file via input_file_name() (≤ the commit's bloom size, at most
+# _BLOOM_M_MAX ints per file); the driver only packs bitsets, never
 # reads data columns. False positives merely read a file; false
 # negatives are impossible as long as probe- and build-side key
 # normalization agree EXACTLY — both sides reduce each key column to a
 # canonical string (below) and hash with md5, double-hashed into
-# _BLOOM_K positions mod _BLOOM_M.
+# _BLOOM_K positions mod the entry's own (adaptively sized) m.
 # ---------------------------------------------------------------------------
 
 _BLOOM_M_MIN = 8192  # bits (1 KiB) — ~1% fp at ~850 keys/file, 4 hashes
@@ -487,8 +488,16 @@ def _bloom_might_contain(entry: dict, hashes: "tuple[int, int]") -> bool:
     if not b or b.get("v") != _BLOOM_V:
         return True
     m = b.get("m")
-    if not isinstance(m, int) or m <= 0 or m & (m - 1):
-        return True  # not a power of two — unknown producer
+    if (
+        not isinstance(m, int)
+        or isinstance(m, bool)
+        or m < 8
+        or m & (m - 1)
+    ):
+        # not a byte-aligned power of two — unknown/garbled producer;
+        # (m < 8 with an empty bitset would pass the length check and
+        # then index past the buffer)
+        return True
     try:
         buf = base64.b64decode(b["b64"])
     except Exception:
@@ -1611,7 +1620,7 @@ class LakeTable:
         entry. DISTRIBUTED: one Spark job reads back the written files'
         key columns (page-cache hot) and aggregates the set bit
         positions per file (``input_file_name`` + ``collect_set``, ≤
-        ``_BLOOM_M`` ints per file — a bounded driver transfer); the
+        ``_BLOOM_M_MAX`` ints per file — a bounded driver transfer); the
         driver only packs bitsets. Tables whose key types are not
         bloom-able (float/decimal/complex) silently skip — entries
         without a bloom are conservatively read."""
@@ -1662,11 +1671,19 @@ class LakeTable:
             for e in es:
                 ps = by_name.get((bucket, os.path.basename(e["path"])))
                 if ps is not None:
+                    # down-fold to THIS file's own size: every m is a
+                    # power of two dividing m_bits, so p & (m_f - 1) ==
+                    # (h1 + i*h2) % m_f exactly — small files keep
+                    # 1 KiB blooms even when the commit's largest file
+                    # needed 16 KiB (manifest/sidecar stay lean)
+                    m_f = _bloom_m_for(e.get("rows") or 0)
                     e["bloom"] = {
                         "v": _BLOOM_V,
-                        "m": m_bits,
+                        "m": m_f,
                         "k": _BLOOM_K,
-                        "b64": _bloom_pack(ps, m_bits),
+                        "b64": _bloom_pack(
+                            [p & (m_f - 1) for p in ps], m_f
+                        ),
                     }
 
     def _bucket_expr(self, n_buckets: int | None = None):

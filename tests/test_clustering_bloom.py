@@ -362,3 +362,42 @@ def test_lookup_many_compound_keys(spark, tmp_path):
         for r in t.lookup_many([("k0", 5), ("k1", 6), ("k9", 1)]).collect()
     }
     assert got == {("k0", 5): 50, ("k1", 6): 60}
+
+
+def test_garbled_tiny_bloom_is_conservatively_kept():
+    """A corrupted bloom with a sub-byte power-of-two m must be kept,
+    not crash the probe with an IndexError on the empty bitset."""
+    hashes = _bloom_hashes("x")
+    for m in (1, 2, 4, True):
+        assert _bloom_might_contain(
+            {"bloom": {"v": 1, "m": m, "k": 4, "b64": ""}}, hashes
+        )
+
+
+def test_per_file_bloom_sizes_in_mixed_commit(spark, tmp_path):
+    """A commit with one big and many small files sizes each file's
+    bloom for ITS row count (down-folded from the commit-wide build),
+    and lookups prune through both sizes."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "m"),
+        SCHEMA,
+        key="doc_id",
+        n_buckets=2,
+        bloom_filters=True,
+        compact_threshold=100,
+    )
+    # bucket-skewed batch: ~2600 rows land in one bucket chunk, a
+    # handful in files of the same commit with far fewer rows
+    rows = [(i, "I", i, [i], "s") for i in range(2600)]
+    t.merge_into(_batch(spark, rows), app_id="mx", epoch=0)
+    m = t.manifest()
+    entries = [e for b in m["buckets"].values() for e in b.get("delta", [])]
+    assert all("bloom" in e for e in entries)
+    for e in entries:
+        from multi_table_plugins_spark.lakehouse.table import _bloom_m_for
+
+        assert e["bloom"]["m"] == _bloom_m_for(e["rows"]), e
+    got = t.lookup(1234).collect()
+    assert len(got) == 1 and got[0]["tokens"] == [1234]
+    assert t.lookup(99_999_999).count() == 0

@@ -47,6 +47,14 @@ drop-column --src T --column C
     Metadata-only column drop: new schema version, files untouched,
     the name tombstoned so it can never silently resurrect old values
     by evolving back in (name-based column mapping).
+delete-where --src T --where '[["col","op",value], ...]'
+update-where --src T --where '[...]' --set '{"col": literal, ...}'
+    Predicate DML: matching live rows are read at a pinned version
+    (key predicates prune files via manifest stats), re-emitted as
+    ordinary 'D'/'U' change events, and merged with the concurrent-
+    writer guard — so the change feed, replicas, and constraints all
+    see DML like any other change. GDPR erasure = delete-where, then
+    compact + expire-snapshots + vacuum-tombstones to purge bytes.
 
 All commands route driver-side IO through the FileIO seam
 (--fileio local|generic, default $MTP_FILEIO).
@@ -164,6 +172,26 @@ def main() -> None:
     sp.add_argument("--src", required=True, help="table name")
     sp.add_argument("--column", required=True)
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
+        "delete-where",
+        help="predicate DELETE (tombstones via the normal merge path)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--where", required=True,
+                    help='JSON predicate list, e.g. \'[["source","=","x"]]\'')
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
+        "update-where",
+        help="predicate UPDATE with literal assignments",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--where", required=True,
+                    help='JSON predicate list, e.g. \'[["a",">=",3]]\'')
+    sp.add_argument("--set", required=True, dest="set_json",
+                    help='JSON assignment map, e.g. \'{"source":"x"}\'')
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
 
     a = p.parse_args()
     if a.cmd == "compact" and a.minor and a.cluster:
@@ -264,6 +292,15 @@ def main() -> None:
             "schema_version": sv,
             "columns": lt.schema().fieldNames(),
         }
+    elif a.cmd in ("delete-where", "update-where"):
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        preds = [tuple(x) for x in json.loads(a.where)]
+        if a.cmd == "delete-where":
+            out["tables"][a.src] = lt.delete_where(preds)
+        else:
+            out["tables"][a.src] = lt.update_where(
+                preds, json.loads(a.set_json)
+            )
     else:
         only = [t.strip() for t in a.tables.split(",") if t.strip()]
         for t in _tables_of(a.warehouse, io, only):

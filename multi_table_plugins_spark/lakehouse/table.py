@@ -49,7 +49,7 @@ import time
 import uuid
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructType
 
 from ..schemas import (
@@ -2381,6 +2381,174 @@ class LakeTable:
         }
         for d in dirs:
             self.io.remove_tree(os.path.join(self.path, d))
+
+    def _dml_apply(
+        self,
+        where: "list[tuple]",
+        build_events,
+        op: str,
+        app_id: str,
+        attempts: int = 5,
+    ) -> dict:
+        """Shared engine for :meth:`delete_where` / :meth:`update_where`.
+
+        Snapshot-isolated read-modify-write: read the matching LIVE rows
+        at a pinned version (key-column predicates prune files via the
+        manifest stats, so the planning read is O(matching files), never
+        the table), synthesize ordinary change events for them, and
+        apply through :meth:`merge_into` with ``require_parent_version``
+        = the version that was read. A concurrent commit in between
+        conflicts and the whole cycle retries against the new state —
+        the same guard as patch merge, so a DML statement never
+        clobbers (or misses) a racing writer's rows.
+
+        Event LSN = max(_lsn over the MATCHED rows) + 1, one value for
+        the whole statement: every existing version of a matched key has
+        lsn <= its current winner's <= that max (the winner IS the
+        per-key max), so the DML events outrank everything the table
+        holds for those keys with no tie possible, while later source
+        events (higher feed LSNs) still win — a source update after a
+        predicate delete legitimately resurrects the row, which is the
+        CDC-correct reading of out-of-band DML.
+        """
+        for attempt in range(attempts):
+            v = self.manifest()["version"]
+            matched = (
+                self._scan(version=v, where=where)
+                .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                .drop(DELETED_COL)
+            )
+            scan_info = dict(self.last_scan_info)
+            mx = matched.agg(F.max(LSN_COL).alias("m")).first()["m"]
+            if mx is None:
+                return {
+                    "skipped": False,
+                    "op": op,
+                    "rows_applied": 0,
+                    "version": v,
+                    "snapshot_id": self.snapshot_id(),
+                    "scan": scan_info,
+                }
+            events = build_events(matched, int(mx) + 1)
+            try:
+                result = self.merge_into(
+                    events,
+                    app_id=app_id,
+                    epoch=None,
+                    lsn_col="lsn",
+                    op_col="op",
+                    require_parent_version=v,
+                )
+            except CommitConflict:
+                self._manifest_cache_version = -1
+                if attempt == attempts - 1:
+                    raise
+                continue
+            result["op"] = op
+            result["scan"] = scan_info
+            return result
+
+    def delete_where(
+        self, where: "list[tuple]", app_id: str = "dml"
+    ) -> dict:
+        """Predicate DELETE: tombstone every live row matching ``where``
+        (same ``(col, op, value)`` predicate list as :meth:`read`).
+
+        Deletes are synthesized as ordinary 'D' change events and
+        applied through :meth:`merge_into`, so everything that holds for
+        feed deletes holds here: the change-data feed and
+        ``table_changes`` emit them, replicas converge, snapshots stay
+        consistent, and time travel still shows the pre-delete state.
+        The tombstones carry NULL payload columns — the delete marker
+        itself stores none of the deleted data.
+
+        Physical purge (e.g. GDPR erasure) is the usual ladder on top:
+        ``compact()`` folds the tombstoned versions out of the live
+        files, ``expire_snapshots()`` unpins the old manifests, and
+        ``vacuum()`` deletes the bytes. ``where=[]`` (match everything)
+        is refused — truncation must be explicit via ``delete_where(
+        [(key, '>=', <domain min>)])`` or table drop.
+
+        Returns merge metrics plus ``scan`` (files_total/files_read of
+        the pruned planning read). Naturally idempotent: a re-run after
+        a crash matches no live rows and commits nothing."""
+        if not where:
+            raise ValueError(
+                "delete_where with an empty predicate would truncate the "
+                "table; spell the full-range predicate explicitly"
+            )
+        keys = set(self.key_cols)
+        payload = [f for f in self.schema().fields if f.name not in keys]
+
+        def build(matched: DataFrame, lsn: int) -> DataFrame:
+            cols = [F.col(k) for k in self.key_cols]
+            cols += [
+                F.lit(None).cast(f.dataType).alias(f.name) for f in payload
+            ]
+            return matched.select(
+                *cols,
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit("D").alias("op"),
+            )
+
+        return self._dml_apply(where, build, "delete", app_id)
+
+    def update_where(
+        self, where: "list[tuple]", set: dict, app_id: str = "dml"
+    ) -> dict:
+        """Predicate UPDATE: rewrite every live row matching ``where``
+        with the ``set`` assignments (``{column: value}``; a pyspark
+        ``Column`` is evaluated against the matched row — e.g.
+        ``{"n_tok": F.col("n_tok") + 1}`` — anything else is a literal;
+        either way the result casts to the column's current type).
+
+        Built on the same snapshot-isolated read-modify-write cycle as
+        :meth:`delete_where`: matched rows are read at a pinned version
+        with file pruning, re-emitted as full-row 'U' events, and
+        merged with the concurrent-writer guard. CHECK constraints are
+        enforced by the merge on the rows as they will be stored.
+
+        Key and bookkeeping columns cannot be SET (an identity change
+        is a delete + insert, not an update); unknown columns are
+        refused — widen the schema first via a normal merge. NOT
+        idempotent when assignments read current values (``col + 1``
+        applied twice adds two); literal-only updates are."""
+        if not where:
+            raise ValueError(
+                "update_where with an empty predicate would rewrite the "
+                "table; spell the full-range predicate explicitly"
+            )
+        if not set:
+            raise ValueError("update_where needs at least one assignment")
+        target = self.schema()
+        set_ = dict(set)
+        field_names = {f.name for f in target.fields}
+        for c in set_:
+            if c in self.key_cols:
+                raise ValueError(
+                    f"cannot SET key column {c!r} — an identity change "
+                    "is a delete + insert"
+                )
+            if c in BOOKKEEPING_COLS or c == _BUCKET_COL:
+                raise ValueError(f"cannot SET bookkeeping column {c!r}")
+            if c not in field_names:
+                raise ValueError(
+                    f"unknown column {c!r}; evolve the schema via a "
+                    "normal merge before updating it"
+                )
+
+        def build(matched: DataFrame, lsn: int) -> DataFrame:
+            out = matched
+            for c, val in set_.items():
+                expr = val if isinstance(val, Column) else F.lit(val)
+                out = out.withColumn(c, expr.cast(target[c].dataType))
+            return out.select(
+                *[f.name for f in target.fields],
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit("U").alias("op"),
+            )
+
+        return self._dml_apply(where, build, "update", app_id)
 
     def compact_deltas(self, buckets: list[str] | None = None) -> dict:
         """MINOR compaction: merge each bucket's delta files into one

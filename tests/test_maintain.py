@@ -84,3 +84,26 @@ def test_unknown_table_rejected(wh):
     )
     assert proc.returncode != 0
     assert "no such table" in proc.stderr
+
+
+def test_delete_where_and_update_where_cli(wh, spark):
+    from multi_table_plugins_spark.lakehouse import LakeTable
+
+    out = _run(
+        "update-where", "--warehouse", wh, "--src", "t1",
+        "--where", '[["source","=","s"]]',
+        "--set", '{"source":"crawl"}',
+    )
+    assert out["tables"]["t1"]["rows_applied"] == 20
+
+    out = _run(
+        "delete-where", "--warehouse", wh, "--src", "t1",
+        "--where", '[["doc_id","=","d1"]]',
+    )
+    assert out["tables"]["t1"]["rows_applied"] == 1
+
+    t1 = LakeTable(spark, os.path.join(wh, "t1"))
+    rows = t1.read().collect()
+    assert len(rows) == 19
+    assert all(r["source"] == "crawl" for r in rows)
+    assert not any(r["doc_id"] == "d1" for r in rows)

@@ -47,6 +47,10 @@ drop-column --src T --column C
     Metadata-only column drop: new schema version, files untouched,
     the name tombstoned so it can never silently resurrect old values
     by evolving back in (name-based column mapping).
+tag --src T [--add NAME [--version V]] [--drop NAME]
+    Named, immutable snapshot pins (Iceberg tag analog). A tagged
+    version's manifest and files survive expire-snapshots until the
+    tag is dropped; read back via LakeTable.read(tag=NAME).
 delete-where --src T --where '[["col","op",value], ...]'
 update-where --src T --where '[...]' --set '{"col": literal, ...}'
     Predicate DML: matching live rows are read at a pinned version
@@ -173,6 +177,16 @@ def main() -> None:
     sp.add_argument("--column", required=True)
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
     sp = sub.add_parser(
+        "tag", help="create/delete/list retention-proof snapshot tags"
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--add", metavar="NAME")
+    sp.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current)")
+    sp.add_argument("--drop", dest="drop_name", metavar="NAME")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
         "delete-where",
         help="predicate DELETE (tombstones via the normal merge path)",
     )
@@ -292,6 +306,13 @@ def main() -> None:
             "schema_version": sv,
             "columns": lt.schema().fieldNames(),
         }
+    elif a.cmd == "tag":
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        if a.add:
+            lt.create_tag(a.add, version=a.version)
+        if a.drop_name:
+            lt.delete_tag(a.drop_name)
+        out["tables"][a.src] = {"tags": lt.tags()}
     elif a.cmd in ("delete-where", "update-where"):
         lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
         preds = [tuple(x) for x in json.loads(a.where)]

@@ -64,6 +64,7 @@ from .fileio import FileIO, get_fileio
 _BUCKET_COL = "_bucket"
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+REFS_DIR = "_refs"
 
 #: write options for SHORT-LIVED delta files (folded by compaction):
 #: random token ids don't compress and the encode CPU is ~20% of apply
@@ -744,6 +745,78 @@ class LakeTable:
             )
         return best
 
+    # -- named snapshot refs (tags) ------------------------------------
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, REFS_DIR)
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        """Pin ``version`` (default: current) under an immutable name —
+        the Iceberg tag analog, for release/audit pins like
+        ``training-set-2026-08``.
+
+        A tagged snapshot survives :meth:`expire_snapshots`: its
+        manifest and every data file it references are retained until
+        the tag is deleted, so ``read(tag=...)`` stays reproducible
+        regardless of the retention window. O(one tiny JSON); published
+        with the same CAS as manifests, so two writers racing the same
+        name get one winner and one error."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r}: use letters, digits, "
+                "'.', '_', '-'"
+            )
+        if version is None:
+            version = self.manifest()["version"]
+        elif version not in self.versions():
+            raise FileNotFoundError(
+                f"no version {version} at {self.path} (expired or never "
+                "committed)"
+            )
+        ref = {"name": name, "version": int(version), "ts": time.time()}
+        d = self._refs_dir()
+        self.io.makedirs(d)
+        try:
+            self.io.publish_atomic(
+                os.path.join(d, f"tag-{name}.json"), json.dumps(ref)
+            )
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists at {self.path}; tags are "
+                "immutable — delete_tag first to re-pin"
+            )
+        return ref
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            self.io.remove(
+                os.path.join(self._refs_dir(), f"tag-{name}.json")
+            )
+        except FileNotFoundError:
+            raise LookupError(f"no tag {name!r} at {self.path}")
+
+    def tags(self) -> "dict[str, int]":
+        """{tag name: pinned version} for every tag on this table."""
+        d = self._refs_dir()
+        out: dict[str, int] = {}
+        if not self.io.exists(d):
+            return out
+        for n in sorted(self.io.listdir(d)):
+            if n.startswith("tag-") and n.endswith(".json"):
+                r = json.loads(self.io.read_text(os.path.join(d, n)))
+                out[r["name"]] = int(r["version"])
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise LookupError(
+                f"no tag {name!r} at {self.path}; have {sorted(tags)}"
+            )
+        return tags[name]
+
     def _publish(
         self, manifest: dict, added: "dict[str, list[dict]] | None" = None
     ) -> None:
@@ -986,10 +1059,12 @@ class LakeTable:
         version: int | None = None,
         as_of=None,
         where: "list[tuple] | None" = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Live rows in the user schema (tombstones filtered); ``version``
         time-travels to an older snapshot, ``as_of`` (epoch seconds or a
-        datetime) to the newest snapshot committed by that instant.
+        datetime) to the newest snapshot committed by that instant,
+        ``tag`` to a named pin from :meth:`create_tag` (retention-proof).
 
         ``where=[(col, op, value), ...]`` (op in ``=, <, <=, >, >=``,
         AND-combined) filters rows AND — for key-column predicates —
@@ -997,10 +1072,12 @@ class LakeTable:
         before planning, so a key-range scan of a 100 TB table reads
         only the files whose key interval intersects the predicate
         (``last_scan_info`` reports files_total vs files_read)."""
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version / as_of / tag")
         if as_of is not None:
-            if version is not None:
-                raise ValueError("pass version OR as_of, not both")
             version = self.version_as_of(as_of)
+        elif tag is not None:
+            version = self.resolve_ref(tag)
         df = self._scan(version=version, where=where)
         drop = [DELETED_COL] if with_lsn else list(BOOKKEEPING_COLS)
         return df.drop(*drop)
@@ -1461,14 +1538,22 @@ class LakeTable:
         or a slow compaction's earliest task files get swept before the
         job publishes its manifest).
 
-        Time travel to an expired version raises thereafter. Like any
+        Time travel to an expired version raises thereafter. Versions
+        pinned by a tag (:meth:`create_tag`) are exempt: their manifests
+        and files survive regardless of ``keep_last``. Like any
         snapshot-expiring table format, a reader still holding an
         expired manifest can fail mid-scan — expire with an operational
         retention matched to the longest-running reader."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         names = self._manifest_files()
-        keep, expired = names[-keep_last:], names[:-keep_last]
+        # tagged versions are retention-proof: their manifests AND the
+        # files they reference survive until the tag is deleted
+        tagged = {f"manifest-{v:08d}.json" for v in self.tags().values()}
+        keep = names[-keep_last:] + [
+            n for n in names[:-keep_last] if n in tagged
+        ]
+        expired = [n for n in names[:-keep_last] if n not in tagged]
 
         def files_of(m: dict) -> set:
             return {

@@ -107,3 +107,10 @@ def test_delete_where_and_update_where_cli(wh, spark):
     assert len(rows) == 19
     assert all(r["source"] == "crawl" for r in rows)
     assert not any(r["doc_id"] == "d1" for r in rows)
+
+
+def test_tag_cli(wh):
+    out = _run("tag", "--warehouse", wh, "--src", "t0", "--add", "rel1")
+    assert "rel1" in out["tables"]["t0"]["tags"]
+    out = _run("tag", "--warehouse", wh, "--src", "t0", "--drop", "rel1")
+    assert out["tables"]["t0"]["tags"] == {}

@@ -450,51 +450,54 @@ FROM ({O_PK_RANGE_SPLITS_BOOL}) b
 
 
 def q_lww_latest_by_key(spark, sf_dir):
-    # LSN-style last-writer-wins dedup (ranking window)
+    """Battery: last-writer-wins dedup BOTH ways, tagged by ``variant``
+    — 'window' is the plain ranking-window rewrite (order ts, event_id);
+    'salted' is the skew-proof two-stage rewrite
+    (operators/skew.py:salted_lww_dedup — first shuffle keyed
+    (user_id, salt) so an arbitrarily hot key spreads over 8 reducers,
+    then keys-only hash aggregates). Each variant must match its oracle
+    CTE exactly, so one green row proves the salted rewrite changes the
+    PLAN, never the answer."""
+    from multi_table_plugins_spark.operators.skew import salted_lww_dedup
+
     ev = _r(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
+    window_v = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
             F.col("event_type").alias("last_event_type"),
+            F.round("value", 3).alias("last_value"),
+            F.lit("window").alias("variant"),
         )
     )
-
-
-O_LWW = """
-SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
-FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-"""
-
-
-def q_salted_lww(spark, sf_dir):
-    # skew-proof two-stage LWW dedup: same semantics as lww_latest_by_key
-    # but the first shuffle is keyed (user_id, salt) so an arbitrarily hot
-    # key spreads over 8 reducers — the oracle checks the two-stage
-    # rewrite produces EXACTLY the plain-window answer
-    from multi_table_plugins_spark.operators.skew import salted_lww_dedup
-
-    ev = _r(spark, sf_dir, "events")
-    out = salted_lww_dedup(
+    salted_v = salted_lww_dedup(
         ev, key="user_id", lsn_col="event_id", payload_cols=["event_type", "value"]
-    )
-    return out.select(
+    ).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
         F.round("value", 3).alias("last_value"),
+        F.lit("salted").alias("variant"),
     )
+    return window_v.unionByName(salted_v)
 
 
-O_SALTED_LWW = """
-SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-       ROUND(value, 3) AS last_value
-FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+O_LWW = """
+WITH w AS (
+  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         ROUND(value, 3) AS last_value, 'window' AS variant
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+), s AS (
+  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         ROUND(value, 3) AS last_value, 'salted' AS variant
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+)
+SELECT * FROM w UNION ALL SELECT * FROM s
 """
 
 
@@ -1922,6 +1925,84 @@ LEFT JOIN lb USING (k)
 """
 
 
+def q_cdc_dml(spark, sf_dir):
+    """Predicate DML end to end, oracle-checked: a derived feed is
+    replayed into a lake table, then ``delete_where`` tombstones every
+    row whose current ``src`` is 'view' and ``update_where`` rewrites
+    the surviving rows above the feed's integer lsn midpoint
+    (``src``→'flagged', ``val``→``val % 1000``), and the final state is
+    read back. The DuckDB oracle recomputes LWW → filter-delete →
+    case-update over the same feed — the snapshot-isolated
+    read-modify-write contract of lakehouse/table.py:delete_where/
+    update_where. Parity: the reference has no DML; its users run
+    source-side SQL and re-ingest — this is the lake-side equivalent."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _r(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        (F.col("event_id") % 499).cast("long").alias("k"),
+        F.col("event_id").cast("long").alias("val"),
+        F.col("event_type").alias("src"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2  # same cut as oracle
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_dml_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("val", LongType(), True),
+            StructField("src", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(work, "t"), schema, key="k", n_buckets=8
+    )
+    t.merge_into(feed, app_id="dmlfeed", epoch=0)
+    t.delete_where([("src", "=", "view")])
+    t.update_where(
+        [("val", ">=", mid)],
+        {"src": "flagged", "val": F.col("val") % 1000},
+    )
+    return t.read().select("k", "val", "src")
+
+
+O_CDC_DML = """
+WITH c AS (
+  SELECT event_id % 499 AS k, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS val, event_type AS src
+  FROM events
+), l AS (  -- LWW final state of the feed
+  SELECT k, val, src FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) rn
+    FROM c) WHERE rn = 1 AND op <> 'D'
+), d AS (  -- delete_where src = 'view'
+  SELECT * FROM l WHERE src IS DISTINCT FROM 'view'
+), m AS (
+  SELECT (MIN(event_id) + MAX(event_id)) // 2 AS mid FROM events
+)
+SELECT k,
+       CASE WHEN val >= (SELECT mid FROM m) THEN val % 1000 ELSE val END AS val,
+       CASE WHEN val >= (SELECT mid FROM m) THEN 'flagged' ELSE src END AS src
+FROM d
+"""
+
+
 def q_cdc_replicate(spark, sf_dir):
     """The CDC-out loop closed end to end, oracle-checked: replay epoch
     0 of the derived feed into table t0, replicate it through the REAL
@@ -2636,7 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_range_splits_numeric": q_pk_range_splits_numeric,
         "pk_range_splits_ordinal": q_pk_range_splits_ordinal,
         "lww_latest_by_key": q_lww_latest_by_key,
-        "salted_lww": q_salted_lww,
+        "cdc_dml": q_cdc_dml,
         "cdc_final_state": q_cdc_final_state,
         "ingesttime_stamp": q_ingesttime_stamp,
         "schema_union_evolution": q_schema_union_evolution,
@@ -2691,7 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "pk_range_splits_numeric": _o_pk_range_splits_numeric(),
         "pk_range_splits_ordinal": _o_pk_range_splits_ordinal(),
         "lww_latest_by_key": O_LWW,
-        "salted_lww": O_SALTED_LWW,
+        "cdc_dml": O_CDC_DML,
         "cdc_final_state": O_CDC_FINAL,
         "ingesttime_stamp": O_INGESTTIME,
         "schema_union_evolution": O_SCHEMA_UNION,

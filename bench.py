@@ -67,7 +67,6 @@ HEADLINE = (
     "pricing_summary",
     "sql_statement_join",
     "lww_latest_by_key",
-    "salted_lww",
     "cdc_final_state",
     "hourly_rollup",
     "dedup_exact",

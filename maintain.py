@@ -47,6 +47,13 @@ drop-column --src T --column C
     Metadata-only column drop: new schema version, files untouched,
     the name tombstoned so it can never silently resurrect old values
     by evolving back in (name-based column mapping).
+branch --src T [--create NAME [--version V]] [--fast-forward NAME]
+       [--drop NAME]
+    Staging branches (write-audit-publish): fork a branch, apply a
+    suspect batch on it via the branch handle (invisible to main, the
+    change feed, and replicas), audit, then fast-forward to publish —
+    or drop to discard. Prefix-checked: main advancing independently
+    conflicts instead of silently merging.
 tag --src T [--add NAME [--version V]] [--drop NAME]
     Named, immutable snapshot pins (Iceberg tag analog). A tagged
     version's manifest and files survive expire-snapshots until the
@@ -187,6 +194,18 @@ def main() -> None:
     sp.add_argument("--drop", dest="drop_name", metavar="NAME")
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
     sp = sub.add_parser(
+        "branch",
+        help="create/delete/fast-forward/list staging branches (WAP)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--create", metavar="NAME")
+    sp.add_argument("--version", type=int, default=None,
+                    help="fork point for --create (default: current)")
+    sp.add_argument("--drop", dest="drop_name", metavar="NAME")
+    sp.add_argument("--fast-forward", dest="ff_name", metavar="NAME")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
         "delete-where",
         help="predicate DELETE (tombstones via the normal merge path)",
     )
@@ -313,6 +332,17 @@ def main() -> None:
         if a.drop_name:
             lt.delete_tag(a.drop_name)
         out["tables"][a.src] = {"tags": lt.tags()}
+    elif a.cmd == "branch":
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        info: dict = {}
+        if a.create:
+            info["created"] = lt.create_branch(a.create, version=a.version)
+        if a.ff_name:
+            info["fast_forwarded"] = lt.fast_forward(a.ff_name)
+        if a.drop_name:
+            lt.delete_branch(a.drop_name)
+        info["branches"] = lt.branches()
+        out["tables"][a.src] = info
     elif a.cmd in ("delete-where", "update-where"):
         lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
         preds = [tuple(x) for x in json.loads(a.where)]

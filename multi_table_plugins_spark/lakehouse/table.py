@@ -556,15 +556,33 @@ class LakeTable:
     """One logical CDC target table rooted at ``path``."""
 
     def __init__(
-        self, spark: SparkSession, path: str, io: FileIO | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        io: FileIO | None = None,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.path = path
         #: driver-side commit IO backend (link vs copy, CAS flavor) —
         #: see fileio.py; default resolves $MTP_FILEIO (local)
         self.io = get_fileio(io)
+        #: non-None = this handle reads/commits a STAGING branch
+        #: (create_branch/fast_forward — the write-audit-publish flow);
+        #: branch commits are invisible to main readers, the change
+        #: feed, and replicas until fast_forward publishes them
+        self.branch = branch
         self._manifest_cache: dict | None = None
         self._manifest_cache_version = -1
+
+    @property
+    def _mdir(self) -> str:
+        """This handle's manifest directory (main, or the branch's)."""
+        if self.branch is None:
+            return os.path.join(self.path, MANIFEST_DIR)
+        return os.path.join(
+            self.path, MANIFEST_DIR, "branches", self.branch
+        )
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -676,7 +694,7 @@ class LakeTable:
             return cls(spark, path, io=io)
 
     def _manifest_files(self) -> list[str]:
-        d = os.path.join(self.path, MANIFEST_DIR)
+        d = self._mdir
         if not self.io.isdir(d):
             return []
         return sorted(
@@ -692,7 +710,7 @@ class LakeTable:
         fallback (exclusive-create + write). Retry with backoff —
         generous enough to outlast a concurrent writer's write+fsync
         under I/O load — before declaring corruption."""
-        path = os.path.join(self.path, MANIFEST_DIR, name)
+        path = os.path.join(self._mdir, name)
         last_err: Exception | None = None
         for attempt in range(8):
             try:
@@ -768,6 +786,10 @@ class LakeTable:
                 f"invalid tag name {name!r}: use letters, digits, "
                 "'.', '_', '-'"
             )
+        if self.branch is not None:
+            raise ValueError(
+                "tags pin MAIN versions; fast_forward the branch first"
+            )
         if version is None:
             version = self.manifest()["version"]
         elif version not in self.versions():
@@ -817,6 +839,194 @@ class LakeTable:
             )
         return tags[name]
 
+    # -- staging branches (write-audit-publish) ------------------------
+
+    def _branches_root(self) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, "branches")
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Fork a STAGING branch at ``version`` (default: current) —
+        the Iceberg write-audit-publish flow for CDC ingest: apply a
+        suspect batch on the branch (``table.branch_of(name)`` returns
+        a handle whose merges/reads commit to the branch's own manifest
+        chain), audit it there (read, constraints, row counts), then
+        :meth:`fast_forward` to publish atomically — or
+        :meth:`delete_branch` to throw the whole staging away. Branch
+        commits are INVISIBLE to main readers, the change feed, and
+        replicas until fast-forwarded; nothing on main is rewritten.
+
+        The fork is O(one manifest copy): the branch directory is
+        seeded with the base version's manifest, and branch data files
+        share the table's data directory (uuid-suffixed run dirs, no
+        collisions). Single-writer per branch name, CAS-enforced."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid branch name {name!r}: use letters, digits, "
+                "'.', '_', '-'"
+            )
+        if self.branch is not None:
+            raise ValueError("cannot fork a branch from a branch handle")
+        if version is None:
+            version = self.manifest()["version"]
+        elif version not in self.versions():
+            raise FileNotFoundError(
+                f"no version {version} at {self.path}"
+            )
+        base = self.manifest(version)
+        d = os.path.join(self._branches_root(), name)
+        self.io.makedirs(d)
+        try:
+            self.io.publish_atomic(
+                os.path.join(d, f"manifest-{version:08d}.json"),
+                json.dumps(base),
+            )
+        except FileExistsError:
+            raise ValueError(
+                f"branch {name!r} already exists at {self.path}"
+            )
+        ref = {"name": name, "base_version": int(version), "ts": time.time()}
+        try:
+            self.io.makedirs(self._refs_dir())
+            self.io.publish_atomic(
+                os.path.join(self._refs_dir(), f"branch-{name}.json"),
+                json.dumps(ref),
+            )
+        except FileExistsError:
+            pass  # stale ref from a crashed delete_branch — branch dir won
+        return ref
+
+    def branch_of(self, name: str) -> "LakeTable":
+        """A handle that reads and commits on branch ``name``."""
+        if name not in self.branches():
+            raise LookupError(f"no branch {name!r} at {self.path}")
+        return LakeTable(self.spark, self.path, io=self.io, branch=name)
+
+    def branches(self) -> "dict[str, dict]":
+        """{branch: {"base_version": v, "head_version": h}}."""
+        root = self._branches_root()
+        out: dict[str, dict] = {}
+        if not self.io.isdir(root):
+            return out
+        for name in sorted(self.io.listdir(root)):
+            d = os.path.join(root, name)
+            if not self.io.isdir(d):
+                continue
+            vs = sorted(
+                int(n[len("manifest-") : -len(".json")])
+                for n in self.io.listdir(d)
+                if n.startswith("manifest-") and n.endswith(".json")
+            )
+            if not vs:
+                continue
+            base = vs[0]
+            try:
+                ref = json.loads(
+                    self.io.read_text(
+                        os.path.join(
+                            self._refs_dir(), f"branch-{name}.json"
+                        )
+                    )
+                )
+                base = int(ref["base_version"])
+            except (FileNotFoundError, ValueError, KeyError):
+                pass  # ref lost to a crash — oldest retained manifest
+            out[name] = {"base_version": base, "head_version": vs[-1]}
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Abandon a staging branch: its manifest chain is removed and
+        its staged data files become orphans (reclaimed by
+        ``expire_snapshots(remove_orphans=True)`` after the grace
+        window — the standard crashed-writer path)."""
+        if name not in self.branches():
+            raise LookupError(f"no branch {name!r} at {self.path}")
+        self.io.remove_tree(os.path.join(self._branches_root(), name))
+        try:
+            self.io.remove(
+                os.path.join(self._refs_dir(), f"branch-{name}.json")
+            )
+        except FileNotFoundError:
+            pass
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish branch ``name``'s staged commits onto main — the
+        'publish' step of write-audit-publish. Requires main's history
+        to be a PREFIX of the branch's (main head == branch base, or ==
+        an already-fast-forwarded branch version: a crash mid-publish
+        resumes idempotently because the copied manifests are
+        byte-identical). If main advanced independently, raises
+        ``CommitConflict`` — re-stage on a fresh branch; rebase is
+        deliberately not supported (replaying the batch is the
+        CDC-correct recovery, and the epoch ledger rides the manifests
+        so the replay is exactly-once).
+
+        Each staged manifest + commit sidecar is CAS-published in
+        ascending order, so main readers see the staged commits appear
+        one by one exactly as if they had been applied to main — the
+        change feed, replicas, and rollups pick them up normally. The
+        branch is deleted on success. O(staged commits), no data IO."""
+        info = self.branches().get(name)
+        if info is None:
+            raise LookupError(f"no branch {name!r} at {self.path}")
+        if self.branch is not None:
+            raise ValueError("fast_forward from the MAIN handle only")
+        bdir = os.path.join(self._branches_root(), name)
+        head_main = self.manifest()["version"]
+        base, head_b = info["base_version"], info["head_version"]
+        if head_main > head_b or head_main < base:
+            raise CommitConflict(
+                f"main at v{head_main} is not a prefix of branch "
+                f"{name!r} [{base}, {head_b}] at {self.path}; re-stage "
+                "on a fresh branch"
+            )
+        if head_main > base:
+            # resuming: main's head must BE the branch's manifest
+            ours = self.manifest(head_main)
+            theirs = json.loads(
+                self.io.read_text(
+                    os.path.join(bdir, f"manifest-{head_main:08d}.json")
+                )
+            )
+            if ours != theirs:
+                raise CommitConflict(
+                    f"main diverged from branch {name!r} at v{head_main} "
+                    f"of {self.path}; re-stage on a fresh branch"
+                )
+        published = []
+        for v in range(head_main + 1, head_b + 1):
+            body = self.io.read_text(
+                os.path.join(bdir, f"manifest-{v:08d}.json")
+            )
+            try:
+                self.io.publish_atomic(
+                    os.path.join(self._mdir, f"manifest-{v:08d}.json"),
+                    body,
+                )
+            except FileExistsError as e:
+                raise CommitConflict(
+                    f"concurrent commit at v{v} of {self.path} during "
+                    f"fast-forward of {name!r}"
+                ) from e
+            try:
+                side = self.io.read_text(
+                    os.path.join(bdir, f"commit-{v:08d}.json")
+                )
+                self.io.publish_atomic(
+                    os.path.join(self._mdir, f"commit-{v:08d}.json"), side
+                )
+            except (FileNotFoundError, FileExistsError, OSError):
+                pass  # sidecar optional — readers fall back to the diff
+            published.append(v)
+        self._manifest_cache_version = -1
+        self.delete_branch(name)
+        return {
+            "branch": name,
+            "published_versions": published,
+            "head_version": head_b,
+        }
+
     def _publish(
         self, manifest: dict, added: "dict[str, list[dict]] | None" = None
     ) -> None:
@@ -843,15 +1053,13 @@ class LakeTable:
         write) falls back to the manifest diff.
         """
         v = manifest["version"]
-        final = os.path.join(self.path, MANIFEST_DIR, f"manifest-{v:08d}.json")
+        final = os.path.join(self._mdir, f"manifest-{v:08d}.json")
         try:
             self.io.publish_atomic(final, json.dumps(manifest))
         except FileExistsError as e:
             raise CommitConflict(f"version {v} already committed at {self.path}") from e
         self._manifest_cache, self._manifest_cache_version = manifest, v
-        sidecar = os.path.join(
-            self.path, MANIFEST_DIR, f"commit-{v:08d}.json"
-        )
+        sidecar = os.path.join(self._mdir, f"commit-{v:08d}.json")
         try:
             self.io.publish_atomic(
                 sidecar,
@@ -875,9 +1083,7 @@ class LakeTable:
         this version predates sidecars (legacy) or lost its sidecar to
         a crash — callers then fall back to the per-version manifest
         diff."""
-        p = os.path.join(
-            self.path, MANIFEST_DIR, f"commit-{version:08d}.json"
-        )
+        p = os.path.join(self._mdir, f"commit-{version:08d}.json")
         try:
             return json.loads(self.io.read_text(p))
         except (FileNotFoundError, ValueError):
@@ -1546,6 +1752,13 @@ class LakeTable:
         retention matched to the longest-running reader."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        if self.branch is not None:
+            raise ValueError(
+                "expire_snapshots runs on the MAIN handle only (a "
+                "branch-scoped expire could delete files main still "
+                "references); delete_branch + remove_orphans reclaims "
+                "abandoned staging"
+            )
         names = self._manifest_files()
         # tagged versions are retention-proof: their manifests AND the
         # files they reference survive until the tag is deleted
@@ -1566,6 +1779,23 @@ class LakeTable:
         referenced: set = set()
         for n in keep:
             referenced |= files_of(self._load_manifest(n))
+        # live staging branches protect their files too: a branch
+        # inherits the base version's files and adds staged ones —
+        # neither may be deleted while the branch exists (its
+        # fast-forward would otherwise publish dangling entries)
+        broot = self._branches_root()
+        if self.io.isdir(broot):
+            for bname in self.io.listdir(broot):
+                bdir = os.path.join(broot, bname)
+                if not self.io.isdir(bdir):
+                    continue
+                for n in self.io.listdir(bdir):
+                    if n.startswith("manifest-") and n.endswith(".json"):
+                        referenced |= files_of(
+                            json.loads(
+                                self.io.read_text(os.path.join(bdir, n))
+                            )
+                        )
         deleted_files = 0
         for n in expired:
             for rel in files_of(self._load_manifest(n)) - referenced:
@@ -1578,9 +1808,7 @@ class LakeTable:
             v = n[len("manifest-") : -len(".json")]
             for gone in (n, f"commit-{v}.json"):
                 try:
-                    self.io.remove(
-                        os.path.join(self.path, MANIFEST_DIR, gone)
-                    )
+                    self.io.remove(os.path.join(self._mdir, gone))
                 except FileNotFoundError:
                     pass  # concurrent expire / legacy version — idempotent
         self._manifest_cache_version = -1  # drop any cached expired view

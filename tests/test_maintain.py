@@ -114,3 +114,18 @@ def test_tag_cli(wh):
     assert "rel1" in out["tables"]["t0"]["tags"]
     out = _run("tag", "--warehouse", wh, "--src", "t0", "--drop", "rel1")
     assert out["tables"]["t0"]["tags"] == {}
+
+
+def test_branch_cli(wh):
+    out = _run("branch", "--warehouse", wh, "--src", "t0", "--create", "wap")
+    assert "wap" in out["tables"]["t0"]["branches"]
+    # empty branch (no staged commits): fast-forward publishes nothing
+    # and retires the branch
+    out = _run(
+        "branch", "--warehouse", wh, "--src", "t0", "--fast-forward", "wap"
+    )
+    assert out["tables"]["t0"]["fast_forwarded"]["published_versions"] == []
+    assert out["tables"]["t0"]["branches"] == {}
+    out = _run("branch", "--warehouse", wh, "--src", "t0", "--create", "x")
+    out = _run("branch", "--warehouse", wh, "--src", "t0", "--drop", "x")
+    assert out["tables"]["t0"]["branches"] == {}

@@ -136,16 +136,6 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
 """
 
 
-def q_split_bounds(spark, sf_dir):
-    # S6 bounding query: SELECT MIN(pk), MAX(pk)
-    return _r(spark, sf_dir, "orders").agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    )
-
-
-O_SPLIT_BOUNDS = "SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders"
-
-
 def q_pk_range_splits(spark, sf_dir):
     # S6: typed PK-range splitter assignment, summarized per split
     df = assign_range_splits(_r(spark, sf_dir, "orders"), "o_orderkey", 4)
@@ -366,9 +356,15 @@ def q_pk_range_splits_numeric(spark, sf_dir):
     """S6 typed-splitter battery, NUMERIC kinds: integer / timestamp /
     double / decimal PK range splits union-tagged by ``kind`` with lo/hi
     normalized to double (timestamps as exact epoch-microsecond
-    integers). One registry entry exercising four splitters — the seven
-    per-type entries of round 3 overflowed the driver's 50-query budget
-    (VERDICT r3 #2), so the battery form keeps every splitter oracled."""
+    integers), PLUS the S6 bounding query itself (``kind='bounds'``,
+    ``split_id=-1``: MIN/MAX/COUNT over the PK — the SELECT MIN(pk),
+    MAX(pk) probe every splitter starts from,
+    MultiTableDBInputFormat.java's bounding query). One registry entry
+    exercising four splitters + the bounds probe — the seven per-type
+    entries of round 3 overflowed the driver's 50-query budget
+    (VERDICT r3 #2), so the battery form keeps every splitter oracled;
+    the former ``split_bounds`` entry folded in here in round 5 to free
+    a slot for ``cdc_wap_branch``."""
 
     def tag(df, kind, lo, hi):
         return df.select(
@@ -383,6 +379,15 @@ def q_pk_range_splits_numeric(spark, sf_dir):
     b = q_pk_range_splits_ts(spark, sf_dir)
     c = q_pk_range_splits_float(spark, sf_dir)
     d = q_pk_range_splits_decimal(spark, sf_dir)
+    e = (
+        _r(spark, sf_dir, "orders")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .select(F.lit(-1).cast("int").alias("split_id"), "cnt", "lo", "hi")
+    )
     return (
         tag(a, "int", F.col("lo").cast("double"), F.col("hi").cast("double"))
         .unionByName(
@@ -395,6 +400,14 @@ def q_pk_range_splits_numeric(spark, sf_dir):
         )
         .unionByName(tag(c, "float", F.col("lo"), F.col("hi")))
         .unionByName(tag(d, "decimal", F.col("lo"), F.col("hi")))
+        .unionByName(
+            tag(
+                e,
+                "bounds",
+                F.col("lo").cast("double"),
+                F.col("hi").cast("double"),
+            )
+        )
     )
 
 
@@ -411,6 +424,10 @@ UNION ALL
 SELECT 'float', split_id, cnt, lo, hi FROM ({O_PK_RANGE_SPLITS_FLOAT}) f
 UNION ALL
 SELECT 'decimal', split_id, cnt, lo, hi FROM ({O_PK_RANGE_SPLITS_DECIMAL}) d
+UNION ALL
+SELECT 'bounds', CAST(-1 AS INT), COUNT(*),
+       CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+FROM orders
 """
 
 
@@ -1925,6 +1942,108 @@ LEFT JOIN lb USING (k)
 """
 
 
+def q_cdc_wap_branch(spark, sf_dir):
+    """Write-audit-publish end to end, oracle-checked: a tokenized
+    change feed derived from ``events`` is applied in two epochs —
+    epoch 0 merged directly on MAIN, epoch 1 staged on a BRANCH handle
+    (``create_branch``/``branch_of``), audited (the query asserts the
+    staged commit is invisible to main — version unchanged, change feed
+    empty), then ``fast_forward``-published. The returned final state
+    (with value-exact ``tok_sum`` over the stored token arrays) must
+    equal the DuckDB LWW oracle over the WHOLE feed — proving
+    stage-then-publish is byte-equivalent to direct apply, the WAP
+    contract (Iceberg's write-audit-publish flow; the reference has no
+    staging facility — its users gate suspect batches with manual
+    side tables)."""
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _r(spark, sf_dir, "events")
+    k = (F.col("event_id") % 499).cast("long")
+    st = (F.col("event_id") % 100).cast("int")
+    n = (F.col("event_id") % 37 + 1).cast("int")
+    is_del = F.col("event_type") == "error"
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("d"), k.cast("string")).alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(
+            F.sequence(st, st + n - F.lit(1))
+        ).alias("tokens"),
+        F.when(is_del, F.lit(None).cast("int")).otherwise(n).alias("n_tok"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2  # deterministic epoch cut
+
+    import atexit
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="mtp_wap_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_tok", IntegerType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(work, "t"), schema, key="doc_id", n_buckets=8
+    )
+    t.merge_into(feed.where(F.col("lsn") < mid), app_id="wap", epoch=0)
+    v_main = t.manifest()["version"]
+    t.create_branch("audit")
+    b = t.branch_of("audit")
+    b.merge_into(feed.where(F.col("lsn") >= mid), app_id="wap", epoch=1)
+    # the audit: staged commit invisible to main (read path AND feed)
+    assert t.manifest()["version"] == v_main, "branch leaked into main"
+    assert t.table_changes(v_main).count() == 0, "branch leaked into CDF"
+    res = t.fast_forward("audit")
+    assert res["published_versions"], "fast_forward published nothing"
+    return t.read().select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+O_CDC_WAP_BRANCH = """
+WITH c AS (
+  SELECT event_id % 499 AS k,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS source,
+         CAST(event_id % 37 + 1 AS INT) AS n,
+         CAST(event_id % 100 AS BIGINT) AS st
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn FROM c
+)
+SELECT 'd' || CAST(k AS VARCHAR) AS doc_id,
+       n AS n_tok,
+       source,
+       CAST((n * (2 * st + n - 1)) // 2 AS BIGINT) AS tok_sum
+FROM r
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_dml(spark, sf_dir):
     """Predicate DML end to end, oracle-checked: a derived feed is
     replayed into a lake table, then ``delete_where`` tombstones every
@@ -2713,7 +2832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_table_union_tagged": q_multi_table_union_tagged,
         "router_fanout": q_router_fanout,
         "projection_pushdown": q_projection_pushdown,
-        "split_bounds": q_split_bounds,
         "pk_range_splits_numeric": q_pk_range_splits_numeric,
         "pk_range_splits_ordinal": q_pk_range_splits_ordinal,
         "lww_latest_by_key": q_lww_latest_by_key,
@@ -2744,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_clusters": q_dedup_exact_clusters,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_patch_merge": q_cdc_patch_merge,
+        "cdc_wap_branch": q_cdc_wap_branch,
         "cdc_replicate": q_cdc_replicate,
         "lake_file_skipping": q_lake_file_skipping,
         "cdc_changes_feed": q_cdc_changes_feed,
@@ -2768,7 +2887,6 @@ def oracle_sql() -> dict[str, str]:
         "multi_table_union_tagged": O_MULTI_TABLE_UNION,
         "router_fanout": O_ROUTER,
         "projection_pushdown": O_PROJECTION,
-        "split_bounds": O_SPLIT_BOUNDS,
         "pk_range_splits_numeric": _o_pk_range_splits_numeric(),
         "pk_range_splits_ordinal": _o_pk_range_splits_ordinal(),
         "lww_latest_by_key": O_LWW,
@@ -2799,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _o_embedding_near_dup(),
         "cdc_time_travel": O_CDC_TIME_TRAVEL,
         "cdc_patch_merge": O_CDC_PATCH_MERGE,
+        "cdc_wap_branch": O_CDC_WAP_BRANCH,
         "cdc_replicate": O_CDC_REPLICATE,
         "lake_file_skipping": O_LAKE_FILE_SKIPPING,
         "cdc_changes_feed": O_CDC_CHANGES_FEED,

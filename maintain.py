@@ -54,6 +54,14 @@ branch --src T [--create NAME [--version V]] [--fast-forward NAME]
     change feed, and replicas), audit, then fast-forward to publish —
     or drop to discard. Prefix-checked: main advancing independently
     conflicts instead of silently merging.
+publish-staged --branch B
+discard-staged --branch B
+    Warehouse-level write-audit-publish (streaming/wap.py): a batch
+    staged with stage_cdc_batch(branch=B) across many tables is
+    published in one command — every table's branch fast-forwarded,
+    then ONE warehouse snapshot pinning the published heads (snapshot
+    readers flip to the whole batch atomically) — or discarded.
+    Idempotently resumable after a crash mid-publish.
 tag --src T [--add NAME [--version V]] [--drop NAME]
     Named, immutable snapshot pins (Iceberg tag analog). A tagged
     version's manifest and files survive expire-snapshots until the
@@ -205,6 +213,15 @@ def main() -> None:
     sp.add_argument("--drop", dest="drop_name", metavar="NAME")
     sp.add_argument("--fast-forward", dest="ff_name", metavar="NAME")
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    for wcmd in ("publish-staged", "discard-staged"):
+        sp = sub.add_parser(
+            wcmd,
+            help=f"{wcmd.split('-')[0]} a warehouse-level staged batch (WAP)",
+        )
+        sp.add_argument("--warehouse", required=True)
+        sp.add_argument("--branch", required=True)
+        sp.add_argument("--fileio", default=None,
+                        choices=["local", "generic"])
     sp = sub.add_parser(
         "delete-where",
         help="predicate DELETE (tombstones via the normal merge path)",
@@ -343,6 +360,14 @@ def main() -> None:
             lt.delete_branch(a.drop_name)
         info["branches"] = lt.branches()
         out["tables"][a.src] = info
+    elif a.cmd == "publish-staged":
+        from multi_table_plugins_spark.streaming import publish_staged_batch
+
+        out["wap"] = publish_staged_batch(spark, a.warehouse, a.branch, io=io)
+    elif a.cmd == "discard-staged":
+        from multi_table_plugins_spark.streaming import discard_staged_batch
+
+        out["wap"] = discard_staged_batch(a.warehouse, a.branch, io=io)
     elif a.cmd in ("delete-where", "update-where"):
         lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
         preds = [tuple(x) for x in json.loads(a.where)]

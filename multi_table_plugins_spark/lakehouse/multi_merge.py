@@ -82,6 +82,7 @@ def merge_many(
     batch_dedup: bool = False,
     io: FileIO | None = None,
     on_violation: str = "fail",
+    branch: "str | None" = None,
 ) -> dict[str, dict]:
     """Apply a change-feed batch to every table it mentions; returns
     {table: merge metrics}. One Spark job (two if invalid rows exist).
@@ -98,7 +99,15 @@ def merge_many(
     ``key_col`` may be a list for compound primary keys (reference
     parity: DBTableInfo.java:28-50 carries ``primaryKey: List<String>``);
     dedup, bucketing, and the per-table LWW merge then key on the column
-    tuple in the given order."""
+    tuple in the given order.
+
+    ``branch`` — stage the whole batch on that named branch of EVERY
+    touched table instead of committing to main (warehouse-level
+    write-audit-publish, streaming/wap.py): same one-job write, same
+    per-table ledger semantics, but commits land on each table's branch
+    manifest chain, no warehouse snapshot is published (snapshots pin
+    MAIN versions only), and nothing is visible to main readers until
+    the branches are fast-forwarded."""
     io = get_fileio(io)
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     payload_schema = payload_schema_of_changes(batch_df.schema)
@@ -257,6 +266,7 @@ def merge_many(
             compact_threshold=compact_threshold,
             minor_compact_threshold=minor_compact_threshold,
             io=io,
+            branch=branch,
         )
         if lt.key_cols != key_cols:
             # same corruption class as a bucket-count mismatch: the
@@ -393,6 +403,8 @@ def merge_many(
         for t, m in results.items()
         if not t.startswith("_") and m.get("version") is not None
     }
+    if branch is not None:
+        versions = {}  # staged commits must never pin a snapshot
     if versions:
         try:
             from .snapshots import publish_snapshot

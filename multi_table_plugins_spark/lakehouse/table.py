@@ -684,14 +684,31 @@ class LakeTable:
         return t
 
     @classmethod
-    def get_or_create(cls, spark, path, schema, io=None, **kw) -> "LakeTable":
+    def get_or_create(
+        cls, spark, path, schema, io=None, branch=None, **kw
+    ) -> "LakeTable":
+        """Open or create the table; with ``branch`` set, additionally
+        ensure that staging branch exists (forked at the table's current
+        version — for a table created by this very call, at the empty
+        v0) and return the BRANCH handle, whose commits stay invisible
+        to main until :meth:`fast_forward`. Used by the warehouse-level
+        write-audit-publish flow (streaming/wap.py)."""
         io = get_fileio(io)
         if cls.exists(path, io=io):
-            return cls(spark, path, io=io)
+            t = cls(spark, path, io=io)
+        else:
+            try:
+                t = cls.create(spark, path, schema, io=io, **kw)
+            except CommitConflict:  # lost the create race — table now exists
+                t = cls(spark, path, io=io)
+        if branch is None:
+            return t
         try:
-            return cls.create(spark, path, schema, io=io, **kw)
-        except CommitConflict:  # lost the create race — table now exists
-            return cls(spark, path, io=io)
+            t.create_branch(branch)
+        except ValueError as e:
+            if "already exists" not in str(e):
+                raise  # invalid name — never swallow
+        return t.branch_of(branch)
 
     def _manifest_files(self) -> list[str]:
         d = self._mdir

@@ -11,3 +11,9 @@ from .cdf_source import (  # noqa: F401
     LakeCDFDataSource,
     replicate_table,
 )
+from .wap import (  # noqa: F401
+    discard_staged_batch,
+    publish_staged_batch,
+    stage_cdc_batch,
+    staged_tables,
+)

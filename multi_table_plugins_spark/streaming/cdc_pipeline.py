@@ -136,6 +136,7 @@ def apply_cdc_batch(
     io=None,
     key_col: "str | list[str]" = "doc_id",
     history_tables: bool = False,
+    branch: "str | None" = None,
 ) -> dict:
     """Apply one micro-batch of change events to the warehouse.
 
@@ -160,6 +161,15 @@ def apply_cdc_batch(
     ``fail``, the batch is retried on the per-table isolated path so a
     poison table cannot take down its siblings (E2/E3 semantics,
     ErrorCollectingRecordReader.java:58-73).
+
+    ``branch`` — STAGE the batch instead of committing it: every
+    touched table's commit lands on that named branch of the table
+    (created at its current version if absent), invisible to main
+    reads, the change feed, replicas, and the warehouse snapshot log
+    until published. Use :func:`stage_cdc_batch` /
+    :func:`publish_staged_batch` / :func:`discard_staged_batch`
+    (streaming/wap.py) for the full warehouse-level
+    write-audit-publish flow.
     """
     assert error_mode in MODES, error_mode
     from ..lakehouse.fileio import get_fileio
@@ -190,7 +200,7 @@ def apply_cdc_batch(
             allow_tables, block_tables, n_buckets, table_mode,
             compact_threshold, minor_compact_threshold,
             max_parallel_tables, validate, fast_path, batch_dedup,
-            lineage, io, key_col, history_tables=False,
+            lineage, io, key_col, history_tables=False, branch=branch,
         )
         src = batch_df.filter(~_invalid()) if validate else batch_df
         if allow_tables:
@@ -217,6 +227,7 @@ def apply_cdc_batch(
             compact_threshold, minor_compact_threshold,
             max_parallel_tables, False, fast_path, batch_dedup,
             lineage, io, keys + ["lsn_key"], history_tables=False,
+            branch=branch,
         )
         main["history"] = hres["tables"]
         # a failed history merge must be as visible as a failed main
@@ -274,6 +285,7 @@ def apply_cdc_batch(
                 # error discipline: FAIL aborts the batch, skip /
                 # error-port drop them with a counted metric
                 on_violation="fail" if error_mode == FAIL else "drop",
+                branch=branch,
             )
             batch_stats = results.pop("_batch", {})
             unsafe_names = batch_stats.get("unsafe_tables", [])
@@ -389,6 +401,7 @@ def apply_cdc_batch(
         lineage,
         io,
         key_col,
+        branch,
     )
 
 
@@ -433,6 +446,7 @@ def _apply_isolated(
     lineage: LineageLog,
     io=None,
     key_col: "str | list[str]" = "doc_id",
+    branch: "str | None" = None,
 ) -> dict:
     """Per-table isolated apply: one merge job per table, failures
     contained to their table (slow path / error-isolation path)."""
@@ -509,6 +523,7 @@ def _apply_isolated(
                     compact_threshold=compact_threshold,
                     minor_compact_threshold=minor_compact_threshold,
                     io=io,
+                    branch=branch,
                 )
                 m = lt.merge_into(
                     changes,
@@ -578,7 +593,7 @@ def _apply_isolated(
         # would silently stall snapshot readers on ever-staler pins);
         # an incomplete batch publishes nothing — readers stay on the
         # last complete one
-        if results and not failures:
+        if results and not failures and branch is None:
             versions = {
                 t: m["version"]
                 for t, m in results.items()

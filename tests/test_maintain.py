@@ -116,6 +116,39 @@ def test_tag_cli(wh):
     assert out["tables"]["t0"]["tags"] == {}
 
 
+def test_warehouse_wap_cli(wh, spark):
+    from pyspark.sql import functions as F
+
+    from multi_table_plugins_spark.lakehouse import LakeTable
+    from multi_table_plugins_spark.streaming import stage_cdc_batch
+
+    feed = spark.createDataFrame(
+        [
+            (500 + i, f"t{i % 2}", "U", f"wap{i}", [i], 1, "s",
+             "2024-01-02 00:00:01")
+            for i in range(6)
+        ],
+        "lsn long, table_name string, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stage_cdc_batch(spark, feed, wh, epoch=7, app_id="m", n_buckets=2)
+
+    def rows(t):
+        return {
+            r["doc_id"]
+            for r in LakeTable(spark, os.path.join(wh, t)).read().collect()
+        }
+
+    assert not any(d.startswith("wap") for d in rows("t0") | rows("t1"))
+    out = _run("publish-staged", "--warehouse", wh, "--branch", "wap-m-7")
+    assert set(out["wap"]["tables"]) == {"t0", "t1"}
+    assert out["wap"]["snapshot_seq"] is not None
+    assert {f"wap{i}" for i in range(6)} <= (rows("t0") | rows("t1"))
+    # nothing left staged; discard of a gone branch is a clean no-op
+    out = _run("discard-staged", "--warehouse", wh, "--branch", "wap-m-7")
+    assert out["wap"]["dropped"] == []
+
+
 def test_branch_cli(wh):
     out = _run("branch", "--warehouse", wh, "--src", "t0", "--create", "wap")
     assert "wap" in out["tables"]["t0"]["branches"]

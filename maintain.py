@@ -62,6 +62,12 @@ discard-staged --branch B
     then ONE warehouse snapshot pinning the published heads (snapshot
     readers flip to the whole batch atomically) — or discarded.
     Idempotently resumable after a crash mid-publish.
+stats-columns --src T [--set '["col", ...]']
+    Payload column-bounds stats (Iceberg column-bounds analog):
+    base-file min/max recorded for the named payload columns at the
+    next compaction, letting read(where=) prune files on non-key
+    predicates in delta-free buckets. Without --set, prints the
+    current set. Metadata-only; float columns refused (NaN).
 tag --src T [--add NAME [--version V]] [--drop NAME]
     Named, immutable snapshot pins (Iceberg tag analog). A tagged
     version's manifest and files survive expire-snapshots until the
@@ -213,6 +219,15 @@ def main() -> None:
     sp.add_argument("--drop", dest="drop_name", metavar="NAME")
     sp.add_argument("--fast-forward", dest="ff_name", metavar="NAME")
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
+        "stats-columns",
+        help="get/set payload column-bounds stats columns",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--set", dest="set_cols", default=None,
+                    help='JSON list of payload columns, e.g. \'["source"]\'')
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
     for wcmd in ("publish-staged", "discard-staged"):
         sp = sub.add_parser(
             wcmd,
@@ -360,6 +375,14 @@ def main() -> None:
             lt.delete_branch(a.drop_name)
         info["branches"] = lt.branches()
         out["tables"][a.src] = info
+    elif a.cmd == "stats-columns":
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        if a.set_cols is not None:
+            out["tables"][a.src] = lt.set_stats_columns(
+                json.loads(a.set_cols)
+            )
+        else:
+            out["tables"][a.src] = {"stats_columns": lt.stats_columns()}
     elif a.cmd == "publish-staged":
         from multi_table_plugins_spark.streaming import publish_staged_batch
 

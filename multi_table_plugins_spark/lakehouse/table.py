@@ -281,6 +281,59 @@ def _prune_value(v, dtype, session_tz_is_utc: bool):
 #: silently lose rows to a representation change)
 _STATS_V = 2
 
+
+def _check_stats_columns(cols, schema, key_cols) -> "list[str]":
+    """Validate payload stats columns (see LakeTable.create): must be
+    non-key, non-float scalar schema columns. Returns the normalized
+    list (empty for None)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if not cols:
+        return []
+    fields = {f.name: f.dataType for f in schema.fields}
+    out = []
+    for c in cols:
+        if c in key_cols:
+            continue  # key stats are always collected
+        dt = fields.get(c)
+        if dt is None:
+            raise ValueError(
+                f"stats column {c!r} not in table schema "
+                f"{sorted(fields)}"
+            )
+        if isinstance(dt, (FloatType, DoubleType)):
+            raise ValueError(
+                f"stats column {c!r} is {dt.simpleString()}: float "
+                "min/max cannot prune soundly (NaN ordering) — omit it"
+            )
+        if not isinstance(
+            dt,
+            (
+                NumericType,
+                StringType,
+                DateType,
+                TimestampType,
+                TimestampNTZType,
+                BooleanType,
+            ),
+        ):
+            raise ValueError(
+                f"stats column {c!r} is {dt.simpleString()}: only "
+                "scalar (numeric/string/date/timestamp/bool) columns "
+                "carry parquet min/max stats"
+            )
+        out.append(c)
+    return sorted(set(out))
+
 # ---------------------------------------------------------------------------
 # per-file key bloom filters (point-lookup skipping)
 #
@@ -607,6 +660,7 @@ class LakeTable:
         compact_threshold: int = 8,
         minor_compact_threshold: int | None = None,
         bloom_filters: bool = False,
+        stats_columns: "list[str] | None" = None,
         io: FileIO | None = None,
     ) -> "LakeTable":
         """Create an empty table (atomic; fails if it already exists).
@@ -627,7 +681,19 @@ class LakeTable:
         commit): point lookups then skip delta files whose bloom
         excludes the probe key — the pruning min/max stats cannot give
         when delta files hold random key batches. Opt-in because it
-        adds a per-commit job and ~1.4 KB of manifest per delta file."""
+        adds a per-commit job and ~1.4 KB of manifest per delta file.
+
+        ``stats_columns`` — PAYLOAD columns whose min/max are recorded
+        on BASE file entries (Iceberg column-bounds analog), letting
+        ``read(where=)`` / ``lookup`` prune files on non-key
+        predicates. Sound only where a row's presence in a file proves
+        it is that key's FINAL version, so these stats are collected
+        on compacted/clustered base writes (one row per key) and the
+        scanner applies them ONLY in buckets whose surviving delta
+        list is empty — a delta stack holds arbitrary versions, where
+        a payload bound could change which version wins LWW. Float and
+        double columns are refused (NaN breaks min/max soundness, same
+        rule as key pruning); complex types carry no scalar stats."""
         io = get_fileio(io)
         if isinstance(key, (list, tuple)):
             if not key:
@@ -657,6 +723,9 @@ class LakeTable:
                 f"column(s) {sorted(reserved)} are reserved for "
                 "bookkeeping and cannot appear in a table schema"
             )
+        stats_columns = _check_stats_columns(
+            stats_columns, schema, [key] if isinstance(key, str) else key
+        )
         io.makedirs(os.path.join(path, MANIFEST_DIR))
         io.makedirs(os.path.join(path, DATA_DIR))
         manifest = {
@@ -670,6 +739,7 @@ class LakeTable:
             "compact_threshold": compact_threshold,
             "minor_compact_threshold": minor_compact_threshold,
             "bloom_filters": bool(bloom_filters),
+            "stats_columns": stats_columns,
             "current_schema_version": 1,
             "schemas": {"1": schema.json()},
             # bucket (str) -> {"base": [file entries], "delta": [file entries]}
@@ -1124,6 +1194,32 @@ class LakeTable:
     def n_buckets(self) -> int:
         return self.manifest()["n_buckets"]
 
+    def stats_columns(self) -> list[str]:
+        """Payload columns with base-file min/max stats (see create)."""
+        return list(self.manifest().get("stats_columns") or [])
+
+    def set_stats_columns(self, cols: "list[str] | None") -> dict:
+        """Metadata-only update of the payload stats column set.
+        Existing files keep (or lack) their recorded stats — entries
+        without a column's stats are conservatively never pruned on it;
+        the next compaction records the new set on its base files."""
+        new = _check_stats_columns(cols, self.schema(), self.key_cols)
+        for _ in range(10):
+            m = json.loads(json.dumps(self.manifest()))
+            if (m.get("stats_columns") or []) == new:
+                return {"stats_columns": new, "version": m["version"]}
+            m["stats_columns"] = new
+            self._advance(m)
+            try:
+                self._publish(m)
+                return {"stats_columns": new, "version": m["version"]}
+            except CommitConflict:
+                self._manifest_cache_version = -1
+                continue
+        raise CommitConflict(
+            f"gave up after 10 set-stats-columns attempts at {self.path}"
+        )
+
     def schema(self) -> StructType:
         m = self.manifest()
         return schema_from_json(m["schemas"][str(m["current_schema_version"])])
@@ -1182,18 +1278,29 @@ class LakeTable:
         ``=, <, <=, >, >=``, AND-combined). Predicates on KEY columns
         additionally prune file entries by their manifest min/max stats
         before any Spark job is planned (files whose key range cannot
-        intersect never reach the scan). Non-key predicates filter rows
-        but never prune files: a pre-LWW file holds arbitrary VERSIONS
-        of its keys, so dropping one by a payload bound could change
-        which version wins. ``self.last_scan_info`` records
-        files_total/files_read for observability and tests."""
+        intersect never reach the scan). Non-key predicates prune only
+        BASE files in buckets whose (key-pruned) delta list is empty:
+        there a base row IS its key's final LWW version, so a payload
+        bound excludes files exactly like the row filter would — while
+        a delta stack holds arbitrary versions, where dropping a file
+        by payload bound could change which version wins. (Any key
+        surviving the row filter satisfies every key predicate; a
+        key-pruned delta file provably holds no such key's versions,
+        so "key-pruned to empty" is as sound as "never had deltas".)
+        Payload stats exist only on tables created with
+        ``stats_columns`` and only on their compacted base files —
+        entries without a column's stats are conservatively kept.
+        ``self.last_scan_info`` records files_total/files_read for
+        observability and tests."""
         m = self.manifest(version)
         target = self._internal_schema(
             schema_from_json(m["schemas"][str(m["current_schema_version"])])
         )
         prune_preds = []
+        payload_preds = []
         if where:
             keys = set(self.key_cols)
+            names = set(target.fieldNames())
             utc = self._session_tz_is_utc()
             for col, op, v in where:
                 if op not in self._OPS:
@@ -1201,23 +1308,29 @@ class LakeTable:
                         f"unsupported predicate op {op!r}; expected one "
                         f"of {self._OPS}"
                     )
+                if col not in names:
+                    continue
+                nv = _prune_value(v, target[col].dataType, utc)
+                if nv is None:
+                    continue
                 if col in keys:
-                    nv = _prune_value(v, target[col].dataType, utc)
-                    if nv is not None:
-                        prune_preds.append((col, op, nv))
+                    prune_preds.append((col, op, nv))
+                else:
+                    payload_preds.append((col, op, nv))
         base_entries: list[dict] = []
         delta_entries: list[dict] = []
+        n_total = 0
         for b in m["buckets"].values():
-            base_entries.extend(b.get("base", []))
-            delta_entries.extend(b.get("delta", []))
-        n_total = len(base_entries) + len(delta_entries)
-        if prune_preds:
-            base_entries = [
-                e for e in base_entries if _entry_matches(e, prune_preds)
-            ]
-            delta_entries = [
-                e for e in delta_entries if _entry_matches(e, prune_preds)
-            ]
+            bb = b.get("base", [])
+            dd = b.get("delta", [])
+            n_total += len(bb) + len(dd)
+            if prune_preds:
+                bb = [e for e in bb if _entry_matches(e, prune_preds)]
+                dd = [e for e in dd if _entry_matches(e, prune_preds)]
+            if payload_preds and not dd:
+                bb = [e for e in bb if _entry_matches(e, payload_preds)]
+            base_entries.extend(bb)
+            delta_entries.extend(dd)
         self.last_scan_info = {
             "files_total": n_total,
             "files_read": len(base_entries) + len(delta_entries),
@@ -1924,10 +2037,16 @@ class LakeTable:
                 # one footer read per file: row count for metrics +
                 # key-column min/max for manifest-level file skipping
                 # (read-time pruning is then pure driver-side interval
-                # math — the Iceberg data-skipping shape)
-                rows, stats, rgs = _footer_meta(
-                    full, self.key_cols + [LSN_COL], self.io
-                )
+                # math — the Iceberg data-skipping shape). BASE writes
+                # additionally record the table's payload stats columns
+                # (one row per key post-LWW, so payload bounds prune
+                # soundly there — see _scan); delta files skip them:
+                # payload pruning never applies to a version stack, so
+                # the stats would be dead manifest bytes
+                stat_cols = self.key_cols + [LSN_COL]
+                if tag != "delta":
+                    stat_cols += m.get("stats_columns") or []
+                rows, stats, rgs = _footer_meta(full, stat_cols, self.io)
                 entry = {
                     "path": os.path.join(rel, bdir, fn),
                     "sv": sv,

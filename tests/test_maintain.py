@@ -116,6 +116,16 @@ def test_tag_cli(wh):
     assert out["tables"]["t0"]["tags"] == {}
 
 
+def test_stats_columns_cli(wh):
+    out = _run("stats-columns", "--warehouse", wh, "--src", "t0")
+    assert out["tables"]["t0"]["stats_columns"] == []
+    out = _run(
+        "stats-columns", "--warehouse", wh, "--src", "t0",
+        "--set", '["source"]',
+    )
+    assert out["tables"]["t0"]["stats_columns"] == ["source"]
+
+
 def test_warehouse_wap_cli(wh, spark):
     from pyspark.sql import functions as F
 

@@ -9,11 +9,14 @@ Commands
 tables
     List every table with version, live-row/file counts, and size.
 compact [--tables a,b] [--minor] [--cluster [--files-per-bucket N]]
+        [--cluster-by col1,col2]
     Fold delta files into the base (major), or delta-merge only
     (--minor) — bucket-bounded rewrites, never O(table) unless every
     bucket carries deltas. --cluster range-sorts each rewritten bucket
     base on the key into N files so manifest min/max skipping prunes
-    INSIDE buckets (sort-order rewrite / ZORDER analog).
+    INSIDE buckets (sort-order rewrite / ZORDER analog); --cluster-by
+    sorts on payload columns instead (pair with stats-columns so
+    non-key predicates prune).
 expire-snapshots --keep-last N [--remove-orphans] [--tables a,b]
     Drop old manifests + the files only they referenced; optionally
     sweep stale crashed-writer orphans (Iceberg expire/remove-orphans
@@ -131,6 +134,10 @@ def main() -> None:
     sp.add_argument("--cluster", action="store_true",
                     help="range-cluster each bucket base on the key so "
                          "min/max file skipping prunes inside buckets")
+    sp.add_argument("--cluster-by", default=None, metavar="COL[,COL...]",
+                    help="cluster on these columns instead of the key "
+                         "(pair with stats-columns so non-key "
+                         "predicates prune; implies --cluster)")
     sp.add_argument("--files-per-bucket", type=int, default=4)
     sp = sub.add_parser("expire-snapshots", help="drop old manifests + files")
     common(sp)
@@ -259,10 +266,10 @@ def main() -> None:
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
 
     a = p.parse_args()
-    if a.cmd == "compact" and a.minor and a.cluster:
+    if a.cmd == "compact" and a.minor and (a.cluster or a.cluster_by):
         p.error(
-            "--cluster requires a major compaction (it rewrites bucket "
-            "bases); drop --minor"
+            "--cluster/--cluster-by requires a major compaction (it "
+            "rewrites bucket bases); drop --minor"
         )
     from multi_table_plugins_spark.lakehouse import LakeTable
     from multi_table_plugins_spark.lakehouse.fileio import get_fileio
@@ -434,6 +441,9 @@ def main() -> None:
                     out["tables"][t] = lt.compact(
                         cluster=a.cluster,
                         files_per_bucket=a.files_per_bucket,
+                        cluster_by=(
+                            a.cluster_by.split(",") if a.cluster_by else None
+                        ),
                     )
             elif a.cmd == "expire-snapshots":
                 out["tables"][t] = lt.expire_snapshots(

@@ -1993,28 +1993,33 @@ class LakeTable:
         tag: str,
         cluster_files: int = 0,
         n_partitions: int | None = None,
+        cluster_cols: "list[str] | None" = None,
     ) -> dict[str, list[dict]]:
         """Write ``df`` (already bucketed via ``_bucket`` col) under
         ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}.
 
         ``cluster_files`` > 0 range-clusters the write: rows are
-        range-partitioned on (bucket, key) into ~``cluster_files``
-        output files and sorted within each, so every file covers a
-        NARROW key interval and the manifest min/max stats prune
-        in-bucket range scans and point lookups — the Z-order-lite that
-        makes file skipping effective on compacted bases (an unclustered
-        bucket base is one file spanning the bucket's whole key range,
-        which no interval predicate can ever skip)."""
+        range-partitioned on (bucket, cluster columns) into
+        ~``cluster_files`` output files and sorted within each, so every
+        file covers a NARROW interval of the cluster columns and the
+        manifest min/max stats prune matching scans — the Z-order-lite
+        that makes file skipping effective on compacted bases (an
+        unclustered bucket base is one file spanning the bucket's whole
+        value range, which no interval predicate can ever skip).
+        ``cluster_cols`` defaults to the key (key-range scans + point
+        lookups prune); cluster on payload ``stats_columns`` instead to
+        make NON-key predicates prune (key stats then go wide per file
+        — choose per workload, like Iceberg's sort-order spec)."""
         # uuid suffix: a crash between data write and manifest publish
         # must not poison the version-derived path on replay, and two
         # concurrent writers must never collide on a directory
         rel = f"{DATA_DIR}/v{version:08d}-{tag}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
         if cluster_files > 0:
-            keys = [F.col(k) for k in self.key_cols]
+            ccols = list(cluster_cols or self.key_cols)
             shaped = df.repartitionByRange(
-                cluster_files, F.col(_BUCKET_COL), *keys
-            ).sortWithinPartitions(_BUCKET_COL, *self.key_cols)
+                cluster_files, F.col(_BUCKET_COL), *[F.col(c) for c in ccols]
+            ).sortWithinPartitions(_BUCKET_COL, *ccols)
         else:
             shaped = df.repartition(
                 n_partitions or self.n_buckets, F.col(_BUCKET_COL)
@@ -3046,6 +3051,7 @@ class LakeTable:
         buckets: list[str] | None = None,
         cluster: bool = False,
         files_per_bucket: int = 4,
+        cluster_by: "list[str] | None" = None,
     ) -> dict:
         """Fold delta files into the base for ``buckets`` (default: all
         buckets that have deltas). Base keeps tombstones so late lower-LSN
@@ -3059,7 +3065,24 @@ class LakeTable:
         domain and min/max skipping can never prune it — clustered, a
         key-range scan or point lookup reads only the files whose
         narrow interval intersects (Iceberg's sort-order rewrite /
-        Delta OPTIMIZE ZORDER analog, for the single-key case)."""
+        Delta OPTIMIZE ZORDER analog, for the single-key case).
+
+        ``cluster_by`` (implies the cluster rewrite) clusters on the
+        named columns INSTEAD of the key — pair it with payload
+        ``stats_columns`` so non-key predicates (a time window, a
+        source selector) prune files; key stats then span wide per
+        file, so point-lookup-heavy tables should keep key clustering.
+        One sort order per rewrite, chosen per workload (Iceberg
+        sort-order-spec analog)."""
+        if cluster_by:
+            cluster = True
+            names = set(self.schema().fieldNames())
+            missing = [c for c in cluster_by if c not in names]
+            if missing:
+                raise ValueError(
+                    f"cluster_by column(s) {missing} not in table "
+                    f"schema {sorted(names)}"
+                )
         m = json.loads(json.dumps(self.manifest()))
         if buckets is None:
             if cluster:
@@ -3094,6 +3117,7 @@ class LakeTable:
             m["version"] + 1,
             "base",
             cluster_files=len(buckets) * files_per_bucket if cluster else 0,
+            cluster_cols=cluster_by,
         )
         stray = set(new_entries) - set(buckets)
         if stray:

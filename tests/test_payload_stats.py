@@ -173,6 +173,36 @@ def test_validation_rejects_bad_stats_columns(spark, tmp_path):
         )
 
 
+def test_cluster_by_payload_makes_uncorrelated_preds_prune(spark, tmp_path):
+    """n_tok is a hash permutation of the key (no monotone relation),
+    so every key-clustered file spans nearly the full n_tok range and a
+    payload bound prunes nothing; re-clustering on n_tok
+    (compact(cluster_by=)) makes the same predicate skip files — the
+    Iceberg sort-order-spec workflow."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2,
+        stats_columns=["n_tok"],
+    )
+    rows = [(k, "I", k, (k * 7919) % 1009, "s", [k]) for k in range(400)]
+    t.merge_into(_batch(spark, rows), app_id="ps", epoch=0)
+    t.compact(cluster=True, files_per_bucket=8)  # key-clustered
+    expect = {k for k in range(400) if (k * 7919) % 1009 < 100}
+    assert expect
+    assert {
+        r["doc_id"] for r in t.read(where=[("n_tok", "<", 100)]).collect()
+    } == expect
+    info_key = dict(t.last_scan_info)
+    assert info_key["files_read"] == info_key["files_total"]  # no pruning
+    t.compact(cluster_by=["n_tok"], files_per_bucket=8)
+    assert {
+        r["doc_id"] for r in t.read(where=[("n_tok", "<", 100)]).collect()
+    } == expect
+    info_pay = t.last_scan_info
+    assert info_pay["files_read"] < info_pay["files_total"]
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.compact(cluster_by=["nope"])
+
+
 def test_set_stats_columns_takes_effect_at_next_compaction(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2

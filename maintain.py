@@ -8,15 +8,20 @@ Commands
 --------
 tables
     List every table with version, live-row/file counts, and size.
+history [--limit N]
+    Commit history per table, newest first (DESCRIBE HISTORY analog):
+    operation, timestamp, snapshot id, files/rows added per commit —
+    driver-side metadata only, no Spark job.
 compact [--tables a,b] [--minor] [--cluster [--files-per-bucket N]]
-        [--cluster-by col1,col2]
+        [--cluster-by col1,col2 [--zorder]]
     Fold delta files into the base (major), or delta-merge only
     (--minor) — bucket-bounded rewrites, never O(table) unless every
     bucket carries deltas. --cluster range-sorts each rewritten bucket
     base on the key into N files so manifest min/max skipping prunes
     INSIDE buckets (sort-order rewrite / ZORDER analog); --cluster-by
     sorts on payload columns instead (pair with stats-columns so
-    non-key predicates prune).
+    non-key predicates prune); --zorder bit-interleaves >= 2
+    cluster-by columns so predicates on each prune independently.
 expire-snapshots --keep-last N [--remove-orphans] [--tables a,b]
     Drop old manifests + the files only they referenced; optionally
     sweep stale crashed-writer orphans (Iceberg expire/remove-orphans
@@ -127,6 +132,10 @@ def main() -> None:
                         choices=["local", "generic"])
 
     common(sub.add_parser("tables", help="list tables + stats"))
+    sp = sub.add_parser("history", help="commit history per table")
+    common(sp)
+    sp.add_argument("--limit", type=int, default=None,
+                    help="newest N commits only (default: all retained)")
     sp = sub.add_parser("compact", help="fold deltas into the base")
     common(sp)
     sp.add_argument("--minor", action="store_true",
@@ -138,6 +147,11 @@ def main() -> None:
                     help="cluster on these columns instead of the key "
                          "(pair with stats-columns so non-key "
                          "predicates prune; implies --cluster)")
+    sp.add_argument("--zorder", action="store_true",
+                    help="bit-interleave the --cluster-by columns "
+                         "(>= 2, numeric/date/timestamp) instead of "
+                         "sorting lexicographically, so predicates on "
+                         "EACH column prune files independently")
     sp.add_argument("--files-per-bucket", type=int, default=4)
     sp = sub.add_parser("expire-snapshots", help="drop old manifests + files")
     common(sp)
@@ -271,6 +285,8 @@ def main() -> None:
             "--cluster/--cluster-by requires a major compaction (it "
             "rewrites bucket bases); drop --minor"
         )
+    if a.cmd == "compact" and a.zorder and not a.cluster_by:
+        p.error("--zorder requires --cluster-by with at least two columns")
     from multi_table_plugins_spark.lakehouse import LakeTable
     from multi_table_plugins_spark.lakehouse.fileio import get_fileio
 
@@ -434,6 +450,8 @@ def main() -> None:
                     "constraints": m.get("constraints") or {},
                     "dropped_columns": m.get("dropped_columns") or [],
                 }
+            elif a.cmd == "history":
+                out["tables"][t] = lt.history(limit=a.limit)
             elif a.cmd == "compact":
                 if a.minor:
                     out["tables"][t] = lt.compact_deltas()
@@ -444,6 +462,7 @@ def main() -> None:
                         cluster_by=(
                             a.cluster_by.split(",") if a.cluster_by else None
                         ),
+                        zorder=a.zorder,
                     )
             elif a.cmd == "expire-snapshots":
                 out["tables"][t] = lt.expire_snapshots(

@@ -50,7 +50,7 @@ import uuid
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..schemas import (
     BOOKKEEPING_COLS,
@@ -62,6 +62,7 @@ from ..schemas import (
 from .fileio import FileIO, get_fileio
 
 _BUCKET_COL = "_bucket"
+_Z_COL = "__zvalue"
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 REFS_DIR = "_refs"
@@ -73,6 +74,72 @@ DELTA_WRITE_OPTS = {
     "compression": "uncompressed",
     "parquet.enable.dictionary": "false",
 }
+
+
+def _zorder_surrogate(name: str, dtype) -> Column:
+    """Order-preserving DOUBLE surrogate for a Z-order cluster column.
+
+    Z-ordering bins each column by rank, so it needs a numeric image
+    whose order matches the column's: numerics cast directly, dates and
+    timestamps go through their epoch representation. Strings/booleans/
+    complex types are refused — there is no fixed-width order-preserving
+    numeric image; lexicographic ``cluster_by`` handles those."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.NumericType):
+        return F.col(name).cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(F.col(name)).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(name).cast("timestamp")).cast("double")
+    raise ValueError(
+        f"zorder column {name!r} has type {dtype.simpleString()}; only "
+        "numeric, date and timestamp columns can be Z-ordered — use "
+        "plain cluster_by (lexicographic) for other types"
+    )
+
+
+def _zorder_value(df: DataFrame, cols: list[str]) -> Column:
+    """Bit-interleaved Z-value over ``cols`` (Delta OPTIMIZE ZORDER BY
+    analog, expressed with built-in Catalyst functions only).
+
+    Each column is binned by rank into 2^bits_per_col buckets using
+    boundaries from one sampled ``approxQuantile`` pass (the same
+    range-bound sampling job Delta runs before its rewrite), then the
+    bin ids' bits are interleaved: sorting by the result groups rows
+    that are close in EVERY dimension, so per-file min/max stats stay
+    narrow on each clustered column independently and a predicate on
+    any ONE of them prunes files. Lexicographic sort only achieves
+    that for the leading column.
+
+    Entirely codegen'd at read of the expression: per row it is a
+    handful of array-filter + shift/or ops, no Python. Nulls (and an
+    all-null column) land in bin 0, first in sort order — matching the
+    NULLS FIRST order the lexicographic path produces."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    bits = max(2, min(8, 24 // len(cols)))
+    nbins = 1 << bits
+    surr = [
+        _zorder_surrogate(c, fields[c]).alias(f"__zq_{i}")
+        for i, c in enumerate(cols)
+    ]
+    probs = [i / nbins for i in range(1, nbins)]
+    bounds = df.select(*surr).approxQuantile(
+        [f"__zq_{i}" for i in range(len(cols))], probs, 0.005
+    )
+    z = F.lit(0).cast("long")
+    for j, (c, bs) in enumerate(zip(cols, bounds)):
+        if not bs:  # empty input or all-null column: contributes 0 bits
+            continue
+        s = _zorder_surrogate(c, fields[c])
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        # rank bin = #boundaries <= value; a null surrogate fails the
+        # predicate for every boundary, so nulls land in bin 0
+        bin_ = F.size(F.filter(arr, lambda b: b <= s)).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(bin_, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z
 
 
 class ConstraintViolation(RuntimeError):
@@ -748,6 +815,7 @@ class LakeTable:
             "committed": {},  # app_id -> last epoch (exactly-once ledger)
             "stats": {"live_rows": 0, "total_files": 0},
             "ts": time.time(),
+            "op": "create",
         }
         t = cls(spark, path, io=io)
         t._publish(manifest)
@@ -830,6 +898,55 @@ class LakeTable:
         return [
             int(n[len("manifest-") : -len(".json")]) for n in self._manifest_files()
         ]
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Commit history, newest first (Delta ``DESCRIBE HISTORY``
+        analog): one row per RETAINED snapshot with the operation tag,
+        commit timestamp, file/row totals, and — when the commit's
+        sidecar survives — the delta files/rows that commit added.
+
+        Pure driver-side metadata: O(retained versions) small-JSON
+        reads, bounded by the ``expire_snapshots`` retention window
+        (``limit`` caps it further); no Spark job. Versions that
+        predate the ``op`` stamp show ``op=None``; the sidecar-derived
+        ``added_*`` fields are None when the sidecar is missing
+        (legacy / crash window) — absent metadata is reported as
+        unknown, never guessed."""
+        names = sorted(self._manifest_files(), reverse=True)
+        if limit is not None:
+            names = names[:limit]
+        out = []
+        for name in names:
+            m = self._load_manifest(name)
+            v = int(name[len("manifest-") : -len(".json")])
+            side = self._load_commit_log(v)
+            added = side.get("added_delta") if side else None
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op"),
+                    "ts": m.get("ts"),
+                    "snapshot_id": m.get("snapshot_id"),
+                    "schema_version": m.get("current_schema_version"),
+                    "n_buckets": m.get("n_buckets"),
+                    "total_files": (m.get("stats") or {}).get("total_files"),
+                    "added_files": (
+                        sum(len(es) for es in added.values())
+                        if added is not None
+                        else None
+                    ),
+                    "added_rows": (
+                        sum(
+                            int(e.get("rows") or 0)
+                            for es in added.values()
+                            for e in es
+                        )
+                        if added is not None
+                        else None
+                    ),
+                }
+            )
+        return out
 
     def version_as_of(self, ts) -> int:
         """Newest version committed at or before ``ts`` (epoch seconds or
@@ -1209,7 +1326,7 @@ class LakeTable:
             if (m.get("stats_columns") or []) == new:
                 return {"stats_columns": new, "version": m["version"]}
             m["stats_columns"] = new
-            self._advance(m)
+            self._advance(m, "set-stats-columns")
             try:
                 self._publish(m)
                 return {"stats_columns": new, "version": m["version"]}
@@ -1839,7 +1956,7 @@ class LakeTable:
             len(v.get("base", [])) + len(v.get("delta", []))
             for v in m["buckets"].values()
         )
-        self._advance(m)
+        self._advance(m, "vacuum-tombstones")
         self._publish(m)
         # row deltas from manifest/footer metadata — the rewrite job is
         # the only Spark job this maintenance op runs (no counting scans)
@@ -1994,6 +2111,7 @@ class LakeTable:
         cluster_files: int = 0,
         n_partitions: int | None = None,
         cluster_cols: "list[str] | None" = None,
+        zorder: bool = False,
     ) -> dict[str, list[dict]]:
         """Write ``df`` (already bucketed via ``_bucket`` col) under
         ``data/v{version}-{tag}/_bucket=N/``; return {bucket: [entries]}.
@@ -2009,7 +2127,12 @@ class LakeTable:
         ``cluster_cols`` defaults to the key (key-range scans + point
         lookups prune); cluster on payload ``stats_columns`` instead to
         make NON-key predicates prune (key stats then go wide per file
-        — choose per workload, like Iceberg's sort-order spec)."""
+        — choose per workload, like Iceberg's sort-order spec).
+        ``zorder`` interleaves the cluster columns' rank-bin bits
+        instead of sorting lexicographically, so predicates on EACH
+        cluster column prune independently; costs one extra sampled
+        quantile pass over ``df`` before the write (Delta's OPTIMIZE
+        ZORDER range-bound job)."""
         # uuid suffix: a crash between data write and manifest publish
         # must not poison the version-derived path on replay, and two
         # concurrent writers must never collide on a directory
@@ -2017,9 +2140,19 @@ class LakeTable:
         out = os.path.join(self.path, rel)
         if cluster_files > 0:
             ccols = list(cluster_cols or self.key_cols)
-            shaped = df.repartitionByRange(
-                cluster_files, F.col(_BUCKET_COL), *[F.col(c) for c in ccols]
-            ).sortWithinPartitions(_BUCKET_COL, *ccols)
+            if zorder:
+                shaped = (
+                    df.withColumn(_Z_COL, _zorder_value(df, ccols))
+                    .repartitionByRange(
+                        cluster_files, F.col(_BUCKET_COL), F.col(_Z_COL)
+                    )
+                    .sortWithinPartitions(_BUCKET_COL, _Z_COL)
+                    .drop(_Z_COL)
+                )
+            else:
+                shaped = df.repartitionByRange(
+                    cluster_files, F.col(_BUCKET_COL), *[F.col(c) for c in ccols]
+                ).sortWithinPartitions(_BUCKET_COL, *ccols)
         else:
             shaped = df.repartition(
                 n_partitions or self.n_buckets, F.col(_BUCKET_COL)
@@ -2171,6 +2304,7 @@ class LakeTable:
         compact: bool | None = None,
         require_parent_version: int | None = None,
         expected_n_buckets: int | None = None,
+        op_tag: str = "append",
     ) -> dict:
         """Commit pre-written delta files (one atomic manifest publish).
 
@@ -2250,7 +2384,7 @@ class LakeTable:
                 len(b.get("base", [])) + len(b.get("delta", []))
                 for b in m["buckets"].values()
             )
-            self._advance(m)
+            self._advance(m, op_tag)
             try:
                 self._publish(m, added=added_by_bucket)
                 break
@@ -2325,13 +2459,32 @@ class LakeTable:
             self._check_not_resurrected(self.manifest(), incoming_payload)
             cur = self.schema()
             merged = merge_schemas(cur, incoming_payload)
+            # The key's non-null contract never widens: parquet scans
+            # report every column nullable, so any batch DERIVED from a
+            # read of this (or a source) table — DML events, replication,
+            # patch merges — would otherwise flip the key nullable and
+            # burn a spurious schema commit per statement
+            keyset = set(self.key_cols)
+            cur_null = {f.name: f.nullable for f in cur.fields}
+            merged = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        cur_null[f.name]
+                        if f.name in keyset and f.name in cur_null
+                        else f.nullable,
+                    )
+                    for f in merged.fields
+                ]
+            )
             if merged.json() == cur.json():
                 return self.manifest()["current_schema_version"]
             m = json.loads(json.dumps(self.manifest()))  # deep copy
             new_sv = m["current_schema_version"] + 1
             m["schemas"][str(new_sv)] = merged.json()
             m["current_schema_version"] = new_sv
-            self._advance(m)
+            self._advance(m, "evolve-schema")
             try:
                 self._publish(m)
                 return new_sv
@@ -2394,7 +2547,7 @@ class LakeTable:
             m.setdefault("dropped_columns", [])
             if name not in m["dropped_columns"]:
                 m["dropped_columns"].append(name)
-            self._advance(m)
+            self._advance(m, "drop-column")
             try:
                 self._publish(m)
                 return new_sv
@@ -2485,7 +2638,7 @@ class LakeTable:
                         f"existing rows violate constraint {name!r} ({expr})"
                     )
             cs[name] = expr
-            self._advance(m)
+            self._advance(m, "add-constraint")
             try:
                 self._publish(m)
                 return
@@ -2504,7 +2657,7 @@ class LakeTable:
                 return  # idempotent
             del cs[name]
             m["constraints"] = cs
-            self._advance(m)
+            self._advance(m, "drop-constraint")
             try:
                 self._publish(m)
                 return
@@ -2515,11 +2668,14 @@ class LakeTable:
             f"gave up after 10 drop-constraint attempts at {self.path}"
         )
 
-    def _advance(self, m: dict) -> None:
+    def _advance(self, m: dict, op: str = "append") -> None:
         m["parent_snapshot_id"] = m["snapshot_id"]
         m["version"] = m["version"] + 1
         m["snapshot_id"] = f"snap-{m['version']}-{uuid.uuid4().hex[:12]}"
         m["ts"] = time.time()
+        # operation tag for history() — metadata only, never read by the
+        # data path (legacy manifests without it show op=None)
+        m["op"] = op
 
     def _current_rows_for(self, keyed_df: DataFrame, target: StructType):
         """Current LWW-resolved rows (tombstones included) of ONLY the
@@ -2635,6 +2791,7 @@ class LakeTable:
         update_mode: str = "row",
         on_violation: str = "fail",
         require_parent_version: int | None = None,
+        op_tag: str | None = None,
     ) -> dict:
         """MERGE a batch of change events into the table (upsert + delete,
         last-writer-wins by ``lsn_col``). Exactly-once: if ``epoch`` is not
@@ -2812,6 +2969,8 @@ class LakeTable:
                     compact=compact,
                     require_parent_version=parent_v,
                     expected_n_buckets=nb,
+                    op_tag=op_tag
+                    or ("patch-merge" if update_mode == "patch" else "append"),
                 )
             except CommitConflict:
                 self._discard_unreferenced(new_entries)
@@ -2892,6 +3051,7 @@ class LakeTable:
                     lsn_col="lsn",
                     op_col="op",
                     require_parent_version=v,
+                    op_tag=f"{op}-where",
                 )
             except CommitConflict:
                 self._manifest_cache_version = -1
@@ -3042,7 +3202,7 @@ class LakeTable:
             len(v.get("base", [])) + len(v.get("delta", []))
             for v in m["buckets"].values()
         )
-        self._advance(m)
+        self._advance(m, "compact-minor")
         self._publish(m)
         return {"minor_compacted_buckets": sorted(buckets, key=int)}
 
@@ -3052,6 +3212,7 @@ class LakeTable:
         cluster: bool = False,
         files_per_bucket: int = 4,
         cluster_by: "list[str] | None" = None,
+        zorder: bool = False,
     ) -> dict:
         """Fold delta files into the base for ``buckets`` (default: all
         buckets that have deltas). Base keeps tombstones so late lower-LSN
@@ -3073,7 +3234,19 @@ class LakeTable:
         source selector) prune files; key stats then span wide per
         file, so point-lookup-heavy tables should keep key clustering.
         One sort order per rewrite, chosen per workload (Iceberg
-        sort-order-spec analog)."""
+        sort-order-spec analog).
+
+        ``zorder=True`` (requires ``cluster_by`` with >= 2 numeric/
+        date/timestamp columns) bit-interleaves the cluster columns'
+        rank bins instead of sorting lexicographically — Delta's
+        OPTIMIZE ZORDER BY: predicates on EACH cluster column prune
+        files independently, where a lexicographic sort only keeps the
+        LEADING column's per-file bounds narrow."""
+        if zorder and len(cluster_by or []) < 2:
+            raise ValueError(
+                "zorder=True needs cluster_by with at least two columns "
+                "(a single column is better served by plain clustering)"
+            )
         if cluster_by:
             cluster = True
             names = set(self.schema().fieldNames())
@@ -3118,6 +3291,7 @@ class LakeTable:
             "base",
             cluster_files=len(buckets) * files_per_bucket if cluster else 0,
             cluster_cols=cluster_by,
+            zorder=zorder,
         )
         stray = set(new_entries) - set(buckets)
         if stray:
@@ -3135,7 +3309,7 @@ class LakeTable:
             len(v.get("base", [])) + len(v.get("delta", []))
             for v in m["buckets"].values()
         )
-        self._advance(m)
+        self._advance(m, "compact")
         self._publish(m)
         return {"compacted_buckets": sorted(buckets, key=int)}
 
@@ -3187,7 +3361,7 @@ class LakeTable:
         m["stats"]["total_files"] = sum(
             len(es) for es in new_entries.values()
         )
-        self._advance(m)
+        self._advance(m, "rebucket")
         try:
             self._publish(m)
         except CommitConflict:

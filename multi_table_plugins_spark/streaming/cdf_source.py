@@ -8,6 +8,11 @@ manifest log, built on PySpark 4's Python Data Source API.
          .option("startingVersion", 0)     # default: version at start
          .load()
 
+(or ``.option("startingTimestamp", "2026-08-17T12:00:00")`` / epoch
+seconds — resolved against the manifests' commit timestamps so every
+commit stamped at or after the instant streams, Delta's
+startingTimestamp contract; mutually exclusive with startingVersion.)
+
 yields every change event (the raw feed — downstream applies LWW, or
 uses :meth:`LakeTable.table_changes` for net semantics) with columns
 ``<payload…>, _change_op ('U'/'D'), _lsn, _commit_version``.
@@ -77,6 +82,42 @@ def _current_version(io, table_path: str) -> int:
     if best < 0:
         raise FileNotFoundError(f"no manifests under {d}")
     return best
+
+
+def _parse_start_ts(raw: str) -> float:
+    """``startingTimestamp`` value → epoch seconds: a float/int string,
+    or an ISO-8601 date/datetime (local-naive, like Delta's option)."""
+    try:
+        return float(raw)
+    except ValueError:
+        from datetime import datetime
+
+        return datetime.fromisoformat(raw).timestamp()
+
+
+def _start_version_for_ts(io, table_path: str, ts: float) -> int:
+    """Stream START offset for ``startingTimestamp``: the newest
+    version committed strictly before ``ts`` — every commit stamped at
+    or after ``ts`` then streams (Delta's startingTimestamp contract).
+    Driver-side scan of the retained manifests' ``ts`` stamps, same
+    O(retained versions) metadata walk as ``version_as_of``. If the
+    earliest retained manifest is already >= ``ts``, the whole retained
+    history streams (start = earliest - 1)."""
+    d = os.path.join(table_path, MANIFEST_DIR)
+    vs = sorted(
+        int(n[len("manifest-") : -len(".json")])
+        for n in io.listdir(d)
+        if n.startswith("manifest-") and n.endswith(".json")
+    )
+    if not vs:
+        raise FileNotFoundError(f"no manifests under {d}")
+    start = vs[0] - 1
+    for v in vs:
+        if float(_load_manifest(io, table_path, v).get("ts") or 0.0) < ts:
+            start = v
+        else:
+            break  # commit ts is monotonic along the version chain
+    return start
 
 
 def _load_commit_log(io, table_path: str, version: int) -> "dict | None":
@@ -228,11 +269,20 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._io = get_fileio(options.get("fileio"))
         self._out = out_schema
         start = options.get("startingversion")
-        self._start = (
-            int(start)
-            if start is not None
-            else _current_version(self._io, self._path)
-        )
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive"
+            )
+        if start is not None:
+            self._start = int(start)
+        elif start_ts is not None:
+            self._start = _start_version_for_ts(
+                self._io, self._path, _parse_start_ts(start_ts)
+            )
+        else:
+            self._start = _current_version(self._io, self._path)
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -322,7 +372,16 @@ class WarehouseCDFStreamReader(LakeCDFStreamReader):
         self._allow = _split_opt(options, "tables")
         self._block = _split_opt(options, "blocktables")
         start = options.get("startingversion")
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive"
+            )
         self._start_version = int(start) if start is not None else None
+        self._start_ts = (
+            _parse_start_ts(start_ts) if start_ts is not None else None
+        )
 
     def _tables(self) -> "list[str]":
         return _discover_tables(self._io, self._wh, self._allow, self._block)
@@ -339,6 +398,13 @@ class WarehouseCDFStreamReader(LakeCDFStreamReader):
     def initialOffset(self) -> dict:
         if self._start_version is not None:
             vs = {t: self._start_version for t in self._tables()}
+        elif self._start_ts is not None:
+            vs = {
+                t: _start_version_for_ts(
+                    self._io, self._tpath(t), self._start_ts
+                )
+                for t in self._tables()
+            }
         else:
             vs = self._versions_now()
         return {"versions": vs}

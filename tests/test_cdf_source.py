@@ -436,3 +436,57 @@ def test_oversized_delta_file_streams_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 1_100_000
     assert got.select("_lsn").distinct().count() == 1_100_000
+
+
+def test_cdf_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp streams exactly the commits stamped at or
+    after the instant (Delta contract): changes before it are skipped,
+    changes after it (including ones applied mid-instant) arrive."""
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, SCHEMA, key="doc_id", n_buckets=2)
+    _apply(spark, t, [(i, "I", i, [i], "old") for i in range(10)], 0)
+    cut = time.time()
+    time.sleep(0.05)  # commit ts granularity
+    _apply(spark, t, [(100 + i, "I", 50 + i, [i], "new") for i in range(5)], 1)
+
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", p)
+        .option("startingTimestamp", str(cut))
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_ts")
+        .option("checkpointLocation", str(tmp_path / "ck_ts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM cdf_ts").collect()}
+    assert got == {50 + i for i in range(5)}
+
+    # ISO form resolves too, and a pre-history instant replays everything
+    from multi_table_plugins_spark.streaming.cdf_source import (
+        _parse_start_ts,
+        _start_version_for_ts,
+    )
+    from multi_table_plugins_spark.lakehouse.fileio import get_fileio
+
+    io = get_fileio(None)
+    assert _start_version_for_ts(io, p, 0.0) == -1  # before v0: all history
+    assert _start_version_for_ts(io, p, cut) == 1  # v1 (epoch 0) already seen
+    assert _parse_start_ts("2026-01-02T03:04:05") > 0
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("lake_cdf")
+            .option("path", p)
+            .option("startingVersion", 0)
+            .option("startingTimestamp", str(cut))
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_ts_bad")
+            .option("checkpointLocation", str(tmp_path / "ck_bad"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

@@ -645,7 +645,14 @@ def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
         if rng is None:
             continue
         lo, hi = rng
-        if isinstance(v, (int, float)) != isinstance(lo, (int, float)):
+        if op == "in":
+            # per-element type-category guard; mixed/incomparable → keep
+            if any(
+                isinstance(x, (int, float)) != isinstance(lo, (int, float))
+                for x in v
+            ):
+                continue
+        elif isinstance(v, (int, float)) != isinstance(lo, (int, float)):
             continue  # incomparable type — never prune on it
         if op == "=" and not (lo <= v <= hi):
             return False
@@ -656,6 +663,13 @@ def _entry_matches(entry: dict, preds: "list[tuple]") -> bool:
         if op == ">" and not (hi > v):
             return False
         if op == ">=" and not (hi >= v):
+            return False
+        # IN: keep unless NO probed value can fall inside the range
+        if op == "in" and not any(lo <= x <= hi for x in v):
+            return False
+        # !=: a file can be skipped only when it provably holds ONLY
+        # the excluded value (min == max == v)
+        if op == "!=" and lo == hi == v:
             return False
     return True
 
@@ -1376,7 +1390,7 @@ class LakeTable:
             out = df if out is None else out.unionByName(df)
         return out
 
-    _OPS = ("=", "<", "<=", ">", ">=")
+    _OPS = ("=", "<", "<=", ">", ">=", "!=", "in")
 
     def _session_tz_is_utc(self) -> bool:
         tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -1392,7 +1406,8 @@ class LakeTable:
         ``version`` for a time-travel read of an older snapshot.
 
         ``where`` — list of ``(col, op, value)`` predicates (op in
-        ``=, <, <=, >, >=``, AND-combined). Predicates on KEY columns
+        ``=, <, <=, >, >=, !=, in``, AND-combined; ``in`` takes a
+        non-empty collection). Predicates on KEY columns
         additionally prune file entries by their manifest min/max stats
         before any Spark job is planned (files whose key range cannot
         intersect never reach the scan). Non-key predicates prune only
@@ -1425,9 +1440,24 @@ class LakeTable:
                         f"unsupported predicate op {op!r}; expected one "
                         f"of {self._OPS}"
                     )
+                if op == "in" and (
+                    not isinstance(v, (list, tuple, set)) or not v
+                ):
+                    raise ValueError(
+                        "'in' predicate needs a non-empty list/tuple/set "
+                        "of values"
+                    )
                 if col not in names:
                     continue
-                nv = _prune_value(v, target[col].dataType, utc)
+                if op == "in":
+                    nvs = [
+                        _prune_value(x, target[col].dataType, utc) for x in v
+                    ]
+                    # one un-normalizable element makes the whole set
+                    # unboundable — prune only when EVERY element maps
+                    nv = nvs if all(x is not None for x in nvs) else None
+                else:
+                    nv = _prune_value(v, target[col].dataType, utc)
                 if nv is None:
                     continue
                 if col in keys:
@@ -1470,8 +1500,8 @@ class LakeTable:
             from pyspark.sql.types import TimestampType
 
             names = set(target.fieldNames())
-            for col, op, v in where:
-                c = F.col(col)
+
+            def _lit(col, v):
                 lit = F.lit(v)
                 if (
                     col in names
@@ -1483,6 +1513,20 @@ class LakeTable:
                     # refuses implicit TIMESTAMP <op> numeric — apply the
                     # same cast the bucket hash uses
                     lit = lit.cast(target[col].dataType)
+                return lit
+
+            for col, op, v in where:
+                c = F.col(col)
+                if op == "in":
+                    # OR of equalities so each literal gets the same
+                    # per-value cast as '=' (isin can't cast per element)
+                    cond = None
+                    for x in v:
+                        eq = c == _lit(col, x)
+                        cond = eq if cond is None else (cond | eq)
+                    df = df.filter(cond)
+                    continue
+                lit = _lit(col, v)
                 df = df.filter(
                     {
                         "=": c == lit,
@@ -1490,6 +1534,7 @@ class LakeTable:
                         "<=": c <= lit,
                         ">": c > lit,
                         ">=": c >= lit,
+                        "!=": c != lit,
                     }[op]
                 )
         return df
@@ -1519,7 +1564,8 @@ class LakeTable:
         datetime) to the newest snapshot committed by that instant,
         ``tag`` to a named pin from :meth:`create_tag` (retention-proof).
 
-        ``where=[(col, op, value), ...]`` (op in ``=, <, <=, >, >=``,
+        ``where=[(col, op, value), ...]`` (op in ``=, <, <=, >, >=,
+        !=, in``,
         AND-combined) filters rows AND — for key-column predicates —
         prunes file entries by the manifest's per-file min/max stats
         before planning, so a key-range scan of a 100 TB table reads

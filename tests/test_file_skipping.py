@@ -192,7 +192,7 @@ def test_string_and_timestamp_keys_prune(spark, tmp_path):
 
 def test_bad_op_rejected(table):
     with pytest.raises(ValueError, match="unsupported predicate op"):
-        table.read(where=[("doc_id", "!=", 5)]).collect()
+        table.read(where=[("doc_id", "like", 5)]).collect()
 
 
 def test_works_under_generic_fileio(spark, tmp_path):
@@ -356,3 +356,39 @@ def test_tz_aware_predicate_normalizes_to_true_utc(spark):
     )  # == 10:00 UTC
     naive_utc = dt.datetime(2024, 1, 1, 10)
     assert _stat_value(aware) == _stat_value(naive_utc)
+
+
+def test_in_predicate_prunes_and_matches_filter(table):
+    vals = [5, 123, 307]
+    got = {r["doc_id"] for r in table.read(
+        where=[("doc_id", "in", vals)]
+    ).collect()}
+    assert got == set(vals)
+    info = table.last_scan_info
+    # batch 2 (keys 200-299) holds none of the probed values
+    assert info["files_read"] < info["files_total"], info
+    # empty / non-collection IN is refused
+    with pytest.raises(ValueError, match="non-empty"):
+        table.read(where=[("doc_id", "in", [])]).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        table.read(where=[("doc_id", "in", 5)]).collect()
+
+
+def test_not_equal_predicate_matches_filter(table):
+    got = {r["doc_id"] for r in table.read(
+        where=[("doc_id", "!=", 123), ("doc_id", "<", 130)]
+    ).collect()}
+    assert got == set(range(130)) - {123}
+
+
+def test_in_and_ne_entry_matching_rules():
+    e = {"stats": {"doc_id": [100, 199]}, "stats_v": 2}
+    assert _entry_matches(e, [("doc_id", "in", [5, 150])])
+    assert not _entry_matches(e, [("doc_id", "in", [5, 307])])
+    # mixed type category in the probe set → conservatively kept
+    assert _entry_matches(e, [("doc_id", "in", ["x", 5])])
+    # != prunes only a constant file equal to the excluded value
+    assert _entry_matches(e, [("doc_id", "!=", 150)])
+    const = {"stats": {"doc_id": [150, 150]}, "stats_v": 2}
+    assert not _entry_matches(const, [("doc_id", "!=", 150)])
+    assert _entry_matches(const, [("doc_id", "!=", 151)])

@@ -8,6 +8,11 @@ Commands
 --------
 tables
     List every table with version, live-row/file counts, and size.
+sort-order --src t --cluster-by a,b [--zorder] [--files-per-bucket N]
+           | --clear
+    Persist a default sort order: every compaction without explicit
+    cluster args (incl. threshold auto-compactions) applies it, so a
+    clustered/Z-ordered layout survives steady-state CDC.
 history [--limit N]
     Commit history per table, newest first (DESCRIBE HISTORY analog):
     operation, timestamp, snapshot id, files/rows added per commit —
@@ -268,6 +273,21 @@ def main() -> None:
                     help='JSON predicate list, e.g. \'[["source","=","x"]]\'')
     sp.add_argument("--fileio", default=None, choices=["local", "generic"])
     sp = sub.add_parser(
+        "sort-order",
+        help="persist a default sort order (applied by every "
+             "compaction without explicit cluster args, including "
+             "threshold auto-compactions)",
+    )
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--src", required=True, help="table name")
+    sp.add_argument("--cluster-by", default=None, metavar="COL[,COL...]",
+                    help="columns to cluster on; empty string = the key")
+    sp.add_argument("--zorder", action="store_true")
+    sp.add_argument("--files-per-bucket", type=int, default=4)
+    sp.add_argument("--clear", action="store_true",
+                    help="remove the persisted order")
+    sp.add_argument("--fileio", default=None, choices=["local", "generic"])
+    sp = sub.add_parser(
         "update-where",
         help="predicate UPDATE with literal assignments",
     )
@@ -414,6 +434,19 @@ def main() -> None:
         from multi_table_plugins_spark.streaming import discard_staged_batch
 
         out["wap"] = discard_staged_batch(a.warehouse, a.branch, io=io)
+    elif a.cmd == "sort-order":
+        lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
+        if a.clear:
+            out["tables"][a.src] = lt.set_sort_order(None)
+        else:
+            if a.cluster_by is None:
+                p.error("sort-order needs --cluster-by (or --clear)")
+            cols = [c for c in a.cluster_by.split(",") if c]
+            out["tables"][a.src] = lt.set_sort_order(
+                cols,
+                zorder=a.zorder,
+                files_per_bucket=a.files_per_bucket,
+            )
     elif a.cmd in ("delete-where", "update-where"):
         lt = LakeTable(spark, os.path.join(a.warehouse, a.src), io=io)
         preds = [tuple(x) for x in json.loads(a.where)]
@@ -447,6 +480,7 @@ def main() -> None:
                     "n_buckets": m["n_buckets"],
                     "key": m["key"],
                     "bloom_filters": bool(m.get("bloom_filters")),
+                    "sort_order": m.get("sort_order"),
                     "constraints": m.get("constraints") or {},
                     "dropped_columns": m.get("dropped_columns") or [],
                 }

@@ -1351,6 +1351,71 @@ class LakeTable:
             f"gave up after 10 set-stats-columns attempts at {self.path}"
         )
 
+    def sort_order(self) -> "dict | None":
+        """The table's persisted default sort order, or None."""
+        return self.manifest().get("sort_order")
+
+    def set_sort_order(
+        self,
+        cluster_by: "list[str] | None",
+        zorder: bool = False,
+        files_per_bucket: int = 4,
+    ) -> dict:
+        """Persist a default sort order (Iceberg sort-order-spec
+        analog): every compaction WITHOUT explicit cluster arguments —
+        including the threshold-triggered auto-compactions inside
+        ``commit_delta`` — then applies it, so a clustered/Z-ordered
+        layout survives steady-state CDC instead of being silently
+        flattened by the next automatic fold. ``cluster_by=None``
+        clears the order (compactions go back to plain fold);
+        ``cluster_by=[]`` means cluster on the KEY. Metadata-only CAS
+        commit; validation is eager (columns must exist; zorder needs
+        >= 2 numeric/date/timestamp columns)."""
+        new: "dict | None"
+        if cluster_by is None:
+            new = None
+        else:
+            names = {f.name: f.dataType for f in self.schema().fields}
+            missing = [c for c in cluster_by if c not in names]
+            if missing:
+                raise ValueError(
+                    f"sort-order column(s) {missing} not in table "
+                    f"schema {sorted(names)}"
+                )
+            if zorder:
+                if len(cluster_by) < 2:
+                    raise ValueError(
+                        "zorder sort order needs at least two explicit "
+                        "columns (name the key columns to Z-order on them)"
+                    )
+                for c in cluster_by:
+                    _zorder_surrogate(c, names[c])  # raises if untypable
+            if files_per_bucket < 1:
+                raise ValueError("files_per_bucket must be >= 1")
+            new = {
+                "cluster_by": list(cluster_by),
+                "zorder": bool(zorder),
+                "files_per_bucket": int(files_per_bucket),
+            }
+        for _ in range(10):
+            m = json.loads(json.dumps(self.manifest()))
+            if m.get("sort_order") == new:
+                return {"sort_order": new, "version": m["version"]}
+            if new is None:
+                m.pop("sort_order", None)
+            else:
+                m["sort_order"] = new
+            self._advance(m, "set-sort-order")
+            try:
+                self._publish(m)
+                return {"sort_order": new, "version": m["version"]}
+            except CommitConflict:
+                self._manifest_cache_version = -1
+                continue
+        raise CommitConflict(
+            f"gave up after 10 set-sort-order attempts at {self.path}"
+        )
+
     def schema(self) -> StructType:
         m = self.manifest()
         return schema_from_json(m["schemas"][str(m["current_schema_version"])])
@@ -3288,6 +3353,19 @@ class LakeTable:
         OPTIMIZE ZORDER BY: predicates on EACH cluster column prune
         files independently, where a lexicographic sort only keeps the
         LEADING column's per-file bounds narrow."""
+        if not cluster and not cluster_by and not zorder:
+            # no explicit clustering request → the table's persisted
+            # sort order (set_sort_order) applies, so threshold-triggered
+            # auto-compactions preserve a clustered/Z-ordered layout
+            # instead of silently flattening it
+            so = self.manifest().get("sort_order")
+            if so:
+                cluster = True
+                cluster_by = list(so.get("cluster_by") or []) or None
+                zorder = bool(so.get("zorder"))
+                files_per_bucket = int(
+                    so.get("files_per_bucket") or files_per_bucket
+                )
         if zorder and len(cluster_by or []) < 2:
             raise ValueError(
                 "zorder=True needs cluster_by with at least two columns "

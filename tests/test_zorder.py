@@ -148,3 +148,62 @@ def test_zorder_validation(spark, tmp_path):
         t.compact(cluster_by=["n_tok"], zorder=True)
     with pytest.raises(ValueError, match="only numeric, date and timestamp"):
         t.compact(cluster_by=["n_tok", "source"], zorder=True)
+
+
+def test_persisted_sort_order_survives_auto_compaction(spark, tmp_path):
+    """set_sort_order makes EVERY unparameterized compaction apply the
+    recorded order — including the threshold-triggered auto-compaction
+    inside commit_delta, which used to silently flatten a clustered
+    layout back to one wide file per bucket."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2,
+        stats_columns=["n_tok", "rank"], compact_threshold=3,
+    )
+    t.set_sort_order(["n_tok", "rank"], zorder=True, files_per_bucket=6)
+    assert t.sort_order() == {
+        "cluster_by": ["n_tok", "rank"], "zorder": True,
+        "files_per_bucket": 6,
+    }
+    # three delta commits trip the threshold -> auto-compact applies
+    # the persisted zorder
+    rows = _rows()
+    for e in range(3):
+        t.merge_into(
+            spark.createDataFrame(rows[e * 400:(e + 1) * 400], CH),
+            app_id="z", epoch=e,
+        )
+    m = t.manifest()
+    assert all(not b.get("delta") for b in m["buckets"].values())
+    assert any(len(b.get("base", [])) > 1 for b in m["buckets"].values())
+    exp_rank = {k for k in range(N) if (k * 104729) % 997 < 100}
+    got = {r["doc_id"] for r in t.read(where=[("rank", "<", 100)]).collect()}
+    assert got == exp_rank
+    info = dict(t.last_scan_info)
+    assert info["files_read"] < info["files_total"]
+    assert "compact" in [r["op"] for r in t.history()]
+
+    # clearing the order: the next compaction flattens again
+    t.set_sort_order(None)
+    assert t.sort_order() is None
+    t.compact()
+    # explicit one-shot args still override a cleared/absent order
+    t.compact(cluster_by=["n_tok", "rank"], zorder=True, files_per_bucket=6)
+    got2 = {r["doc_id"] for r in t.read(where=[("rank", "<", 100)]).collect()}
+    assert got2 == exp_rank
+
+
+def test_sort_order_validation(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.set_sort_order(["nope"])
+    with pytest.raises(ValueError, match="at least two explicit"):
+        t.set_sort_order(["n_tok"], zorder=True)
+    with pytest.raises(ValueError, match="only numeric, date and timestamp"):
+        t.set_sort_order(["n_tok", "source"], zorder=True)
+    # [] = cluster on the key; survives a manifest roundtrip
+    t.set_sort_order([], files_per_bucket=3)
+    assert t.sort_order() == {
+        "cluster_by": [], "zorder": False, "files_per_bucket": 3,
+    }

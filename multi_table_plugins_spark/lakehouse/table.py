@@ -2252,6 +2252,11 @@ class LakeTable:
         if cluster_files > 0:
             ccols = list(cluster_cols or self.key_cols)
             if zorder:
+                if _Z_COL in df.columns:
+                    raise ValueError(
+                        f"column name {_Z_COL!r} is reserved for the "
+                        "Z-order rewrite"
+                    )
                 shaped = (
                     df.withColumn(_Z_COL, _zorder_value(df, ccols))
                     .repartitionByRange(

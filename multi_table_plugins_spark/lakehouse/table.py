@@ -2646,6 +2646,14 @@ class LakeTable:
             new_schema = StructType(
                 [f for f in cur.fields if f.name != name]
             )
+            # a persisted sort order referencing the column would make
+            # the next (auto-)compaction fail mid-write-path
+            so = m.get("sort_order")
+            if so and name in (so.get("cluster_by") or []):
+                raise ValueError(
+                    f"cannot drop {name!r}: the persisted sort order "
+                    f"clusters on it — set_sort_order first"
+                )
             # every registered constraint must still analyze without it
             probe = self.spark.createDataFrame([], new_schema)
             for cname, cexpr in (m.get("constraints") or {}).items():
@@ -3364,7 +3372,13 @@ class LakeTable:
             # auto-compactions preserve a clustered/Z-ordered layout
             # instead of silently flattening it
             so = self.manifest().get("sort_order")
-            if so:
+            if so and not (
+                # a stale order (column gone via legacy metadata edits)
+                # must degrade to a plain fold, never fail the write
+                # path that auto-triggered this compaction
+                set(so.get("cluster_by") or [])
+                - set(self.schema().fieldNames())
+            ):
                 cluster = True
                 cluster_by = list(so.get("cluster_by") or []) or None
                 zorder = bool(so.get("zorder"))

@@ -2592,22 +2592,33 @@ def q_scd2_history(spark, sf_dir):
     rows live at the probe instant (``asof_hit``), so history
     reconstruction and as-of lookup are both oracle-checked in one
     battery."""
-    from multi_table_plugins_spark.operators.scd2 import (
-        scd2_as_of,
-        scd2_history,
-    )
+    from multi_table_plugins_spark.operators.scd2 import scd2_history
 
     ev = _r(spark, sf_dir, "events")
     hist = scd2_history(
         ev, keys=["user_id"], order_by=["ts", "event_id"], payload=["event_type", "value"]
     )
-    asof = scd2_as_of(
-        hist, F.lit("2024-01-15 00:00:00").cast("timestamp")
-    ).select("user_id", "version_num", F.lit(True).alias("asof_hit"))
-    return (
-        hist.join(asof, ["user_id", "version_num"], "left")
-        .withColumn("asof_hit", F.coalesce("asof_hit", F.lit(False)))
-        .withColumn("value", F.round("value", 4))
+    # as-of marking INLINE on the single window pass (the same interval
+    # predicate scd2_as_of applies — operators/scd2.py:57): the previous
+    # shape filtered a second copy of ``hist`` and left-joined it back on
+    # (user_id, version_num), which ran the key-window twice and added a
+    # join + exchange for a value that is a pure row-local predicate.
+    # Equivalent by construction — the join matched exactly the rows
+    # satisfying this predicate on the unique (key, version) id — and
+    # re-proven by the DuckDB oracle hash (r06 optimization round).
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    asof_hit = (F.col("valid_from") <= t) & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > t)
+    )
+    return hist.select(
+        "user_id",
+        "version_num",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        asof_hit.alias("asof_hit"),
     )
 
 

@@ -21,7 +21,31 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_sim, dot
+from ..functions.vectors import dot, l2_norm
+
+
+def _paired_cosine() -> "F.Column":
+    """Cosine over pre-projected pair sides: ``dot(_qv,_cv)/(_qn*_cn)``.
+
+    The norms (and the float→double array casts) are hoisted into the
+    per-ROW projections below each join (``_prenormed``) instead of
+    being folded per PAIR inside ``cosine_sim`` — a candidate join
+    evaluates the sim expression once per generated pair, so the hoist
+    removes two O(dim) aggregate folds and two array casts from every
+    pair. Bit-identical to ``cosine_sim``: the same sqrt-of-fold values
+    enter the same divide/multiply tree, only computed earlier."""
+    return dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+
+
+def _prenormed(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
+    """(id, _qv/_cv as array<double>, _qn/_cn) — the per-row pair-side
+    projection feeding :func:`_paired_cosine`."""
+    v, n = (f"_{side}v", f"_{side}n")
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(v),
+        l2_norm(vec_col).alias(n),
+    )
 
 
 def cosine_topk(
@@ -35,11 +59,11 @@ def cosine_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """(query_id, candidate_id, sim, rank≤k) — brute-force cosine top-k."""
-    q = queries.select(
-        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
+    q = _prenormed(queries, q_id, q_vec, "q").withColumnRenamed(
+        q_id, "query_id"
     )
-    c = candidates.select(
-        F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv")
+    c = _prenormed(candidates, c_id, c_vec, "c").withColumnRenamed(
+        c_id, "candidate_id"
     )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -47,7 +71,7 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "candidate_id",
-        cosine_sim(F.col("_qv"), F.col("_cv")).alias("sim"),
+        _paired_cosine().alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("candidate_id")
@@ -126,7 +150,8 @@ def hyperplane_lsh_topk(
         bucket_of = lambda col: _bucket_expr(col, plane_vecs)  # noqa: E731
     qbase = queries.select(
         F.col(q_id).alias("query_id"),
-        F.col(q_vec).alias("_qv"),
+        F.col(q_vec).cast("array<double>").alias("_qv"),
+        l2_norm(q_vec).alias("_qn"),
         bucket_of(q_vec).alias("_b0"),
     )
     if multiprobe:
@@ -137,18 +162,19 @@ def hyperplane_lsh_topk(
     else:
         probes = F.array(F.col("_b0"))
     qb = qbase.select(
-        "query_id", "_qv", F.explode(probes).alias("_bucket")
+        "query_id", "_qv", "_qn", F.explode(probes).alias("_bucket")
     )
     cb = candidates.select(
         F.col(c_id).alias("candidate_id"),
-        F.col(c_vec).alias("_cv"),
+        F.col(c_vec).cast("array<double>").alias("_cv"),
+        l2_norm(c_vec).alias("_cn"),
         bucket_of(c_vec).alias("_bucket"),
     )
     joined = cb.join(F.broadcast(qb), "_bucket").filter(
         F.col("query_id") != F.col("candidate_id")
     )
     scored = joined.select(
-        "query_id", "candidate_id", cosine_sim("_qv", "_cv").alias("sim")
+        "query_id", "candidate_id", _paired_cosine().alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -196,7 +222,8 @@ def ivf_topk(
 
     # corpus side: one cell per vector, argmin distance (ties -> min cid)
     cd = (
-        candidates.select(F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv"))
+        _prenormed(candidates, c_id, c_vec, "c")
+        .withColumnRenamed(c_id, "candidate_id")
         .crossJoin(F.broadcast(cents))
         .withColumn("_d", l2_sq(F.col("_cv"), F.col("_ctr")))
     )
@@ -205,14 +232,16 @@ def ivf_topk(
         .agg(
             F.min(F.struct("_d", "_cid")).alias("_m"),
             F.first("_cv").alias("_cv"),
+            F.first("_cn").alias("_cn"),
         )
-        .select("candidate_id", "_cv", F.col("_m._cid").alias("_cid"))
+        .select("candidate_id", "_cv", "_cn", F.col("_m._cid").alias("_cid"))
     )
 
     # query side: nprobe nearest cells (query sets are small; a ranking
     # window over n_centroids rows per query is fine)
     qd = (
-        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+        _prenormed(queries, q_id, q_vec, "q")
+        .withColumnRenamed(q_id, "query_id")
         .crossJoin(F.broadcast(cents))
         .withColumn("_d", l2_sq(F.col("_qv"), F.col("_ctr")))
     )
@@ -220,14 +249,14 @@ def ivf_topk(
     q_cells = (
         qd.withColumn("_rnk", F.row_number().over(w_probe))
         .filter(F.col("_rnk") <= nprobe)
-        .select("query_id", "_qv", "_cid")
+        .select("query_id", "_qv", "_qn", "_cid")
     )
 
     joined = cand_cells.join(F.broadcast(q_cells), "_cid").filter(
         F.col("query_id") != F.col("candidate_id")
     )
     scored = joined.select(
-        "query_id", "candidate_id", cosine_sim("_qv", "_cv").alias("sim")
+        "query_id", "candidate_id", _paired_cosine().alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -254,10 +283,18 @@ def embedding_near_dup_pairs(
         bucket = _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed))
     b = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("_v"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(vec_col).alias("_n"),
         bucket.alias("_bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
+    # norms/casts hoisted per ROW (see _paired_cosine): the sim>=threshold
+    # predicate is pushed into the join condition by Catalyst, so every
+    # candidate pair evaluates the sim expression there — per-pair cost is
+    # now one dot fold instead of dot + two norm folds + two array casts
+    sim = (
+        dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))
+    )
     return (
         l.join(
             r,
@@ -267,7 +304,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine_sim(F.col("l._v"), F.col("r._v")).alias("sim"),
+            sim.alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

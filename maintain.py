@@ -494,7 +494,12 @@ def main() -> None:
                         cluster=a.cluster,
                         files_per_bucket=a.files_per_bucket,
                         cluster_by=(
-                            a.cluster_by.split(",") if a.cluster_by else None
+                            # same empty-segment normalization as the
+                            # sort-order command: 'n_tok,' must not pass
+                            # an empty column name into compact()
+                            [c for c in a.cluster_by.split(",") if c]
+                            if a.cluster_by
+                            else None
                         ),
                         zorder=a.zorder,
                     )

@@ -116,7 +116,17 @@ def _start_version_for_ts(io, table_path: str, ts: float) -> int:
         if float(_load_manifest(io, table_path, v).get("ts") or 0.0) < ts:
             start = v
         else:
-            break  # commit ts is monotonic along the version chain
+            # stop at the first commit stamped >= ts. This is the
+            # CONSERVATIVE direction even when concurrent writers'
+            # clocks are skewed (non-monotonic stamps): only versions
+            # <= start are excluded, and every one of those was checked
+            # ts < target — a qualifying commit can never be skipped,
+            # while later lower-stamped commits merely over-include
+            # (streams replay in version order, so that is unavoidable
+            # anyway). A full scan taking the NEWEST version with
+            # ts < target would instead skip out-of-order commits
+            # stamped >= target that sort before it.
+            break
     return start
 
 

@@ -17,9 +17,13 @@ Crash/replay matrix (every arrow is a rerun of the same call):
     exist (reused), committed tables' branch ledgers skip, the rest
     apply — idempotent per (app_id, epoch, branch).
   * crash mid-publish    → ``publish_staged_batch`` again: tables whose
-    branch is gone were already published (skipped), a table with a
+    branch is gone were already published — their CURRENT main head is
+    still pinned in the resumed snapshot via the warehouse-level staged
+    table marker (``_staging/branch-<branch>.json``, written at stage
+    time, deleted only after the snapshot lands) — a table with a
     half-fast-forwarded branch resumes (byte-identical manifest
-    re-check in ``fast_forward``), the snapshot publishes last.
+    re-check in ``fast_forward``), the snapshot publishes last and
+    covers the WHOLE batch, never a mix of pre- and post-batch pins.
   * audit rejects        → ``discard_staged_batch``: branch chains
     removed; staged files become orphans reclaimed by
     ``expire_snapshots(remove_orphans=True)`` after the grace window.
@@ -55,6 +59,40 @@ def default_branch(app_id: str, epoch: int) -> str:
     return f"wap-{app_id}-{epoch}"
 
 
+def _marker_path(warehouse: str, branch: str) -> str:
+    """Warehouse-level record of WHICH tables a staged batch touched.
+
+    ``publish_staged_batch`` discovers tables by looking for the branch
+    — but a successful fast-forward DELETES the branch, so a publish
+    resumed after a crash would only see the not-yet-published tables
+    and pin a snapshot that mixes post-batch heads with PRE-batch pins
+    for the tables published before the crash (exactly the torn
+    cross-table view WAP exists to prevent); a crash after the last
+    fast-forward would publish no snapshot at all. The marker makes the
+    staged table set durable until the snapshot lands."""
+    return os.path.join(warehouse, "_staging", f"branch-{branch}.json")
+
+
+def _read_marker(io: FileIO, warehouse: str, branch: str) -> "list[str]":
+    import json
+
+    try:
+        doc = json.loads(io.read_text(_marker_path(warehouse, branch)))
+        return list(doc.get("tables") or [])
+    except (FileNotFoundError, ValueError):
+        return []
+
+
+def _write_marker(
+    io: FileIO, warehouse: str, branch: str, tables: "list[str]"
+) -> None:
+    import json
+
+    p = _marker_path(warehouse, branch)
+    io.makedirs(os.path.dirname(p))
+    io.write_text(p, json.dumps({"branch": branch, "tables": sorted(tables)}))
+
+
 def stage_cdc_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -75,6 +113,13 @@ def stage_cdc_batch(
         branch=branch, **apply_kw,
     )
     out["branch"] = branch
+    # durable staged-table set (see _marker_path): union with any
+    # earlier marker so a crash-resumed stage keeps the full set
+    io = get_fileio(apply_kw.get("io"))
+    tables = set(_read_marker(io, warehouse, branch))
+    tables.update(t for t in out.get("tables", {}) if not t.startswith("_"))
+    if tables:
+        _write_marker(io, warehouse, branch, sorted(tables))
     return out
 
 
@@ -109,18 +154,34 @@ def publish_staged_batch(
     re-stage. Idempotently resumable: rerunning after a crash publishes
     only what remains. O(staged commits) metadata IO, no data IO."""
     io = get_fileio(io)
+    still_staged = staged_tables(warehouse, branch, io=io)
+    # the full batch = marker set (durable across a crashed publish) ∪
+    # tables still carrying the branch (pre-marker warehouses)
+    batch_tables = sorted(set(_read_marker(io, warehouse, branch)) | set(still_staged))
     published: dict[str, dict] = {}
     versions: dict[str, int] = {}
-    for t in sorted(staged_tables(warehouse, branch, io=io)):
+    for t in batch_tables:
         lt = LakeTable(spark, os.path.join(warehouse, t), io=io)
-        res = lt.fast_forward(branch)
-        published[t] = res
-        versions[t] = res["head_version"]
+        if t in still_staged:
+            res = lt.fast_forward(branch)
+            published[t] = res
+            versions[t] = res["head_version"]
+        else:
+            # already fast-forwarded by a crashed earlier publish (the
+            # successful fast-forward deleted the branch): pin its
+            # CURRENT main head so the resumed snapshot still flips the
+            # whole batch atomically instead of carrying a pre-batch pin
+            versions[t] = lt.manifest()["version"]
     doc = None
     if snapshot and versions:
         doc = publish_snapshot(
             io, warehouse, versions, app_id=app_id, epoch=epoch
         )
+    # marker outlives the branches and dies only after the snapshot is
+    # durable — a crash anywhere above resumes to the same full pin set
+    marker = _marker_path(warehouse, branch)
+    if io.exists(marker):
+        io.remove(marker)
     return {
         "branch": branch,
         "tables": published,
@@ -141,4 +202,7 @@ def discard_staged_batch(
             branch
         )
         dropped.append(t)
+    marker = _marker_path(warehouse, branch)
+    if io.exists(marker):
+        io.remove(marker)
     return {"branch": branch, "dropped": dropped}

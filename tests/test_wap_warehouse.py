@@ -165,12 +165,44 @@ def test_publish_resumes_after_partial_crash(spark, tmp_path):
     # simulate: crash published t0's branch but not t1's, no snapshot
     LakeTable(spark, os.path.join(wh, "t0")).fast_forward("wap-w-1")
     pub = publish_staged_batch(spark, wh, "wap-w-1", app_id="w", epoch=1)
-    assert set(pub["tables"]) == {"t1"}  # only the remainder
+    assert set(pub["tables"]) == {"t1"}  # only the remainder fast-forwards
     for t in ("t0", "t1"):
         assert any(v[0] >= 100 for v in _state(spark, wh, t).values())
-    # the resumed publish still pins a snapshot (for the remainder;
-    # t0's pin carries forward from the previous snapshot doc)
+    # the resumed publish pins BOTH tables' post-batch heads (the staged
+    # table marker survives t0's branch deletion): a snapshot reader
+    # must never see t0 pre-batch next to t1 post-batch
     assert pub["snapshot_seq"] is not None
+    io = get_fileio(None)
+    snap = latest_snapshot(io, wh)
+    t0_head = LakeTable(spark, os.path.join(wh, "t0")).manifest()["version"]
+    t1_head = LakeTable(spark, os.path.join(wh, "t1")).manifest()["version"]
+    assert snap["tables"]["t0"] == t0_head
+    assert snap["tables"]["t1"] == t1_head
+    # marker is consumed by the completed publish
+    from multi_table_plugins_spark.streaming.wap import _marker_path
+
+    assert not os.path.exists(_marker_path(wh, "wap-w-1"))
+
+
+def test_publish_resumes_after_crash_past_last_table(spark, tmp_path):
+    """Crash AFTER the last fast-forward but BEFORE the snapshot: every
+    branch is gone, yet the rerun must still publish the batch snapshot
+    (previously it silently published nothing)."""
+    wh = str(tmp_path / "wh")
+    apply_cdc_batch(spark, _feed(spark, 1, 8), wh, epoch=0, app_id="w",
+                    n_buckets=2)
+    stage_cdc_batch(spark, _feed(spark, 100, 8, op="U"), wh, epoch=1,
+                    app_id="w", n_buckets=2)
+    for t in ("t0", "t1"):
+        LakeTable(spark, os.path.join(wh, t)).fast_forward("wap-w-1")
+    pub = publish_staged_batch(spark, wh, "wap-w-1", app_id="w", epoch=1)
+    assert pub["tables"] == {}  # nothing left to fast-forward
+    assert pub["snapshot_seq"] is not None
+    io = get_fileio(None)
+    snap = latest_snapshot(io, wh)
+    for t in ("t0", "t1"):
+        head = LakeTable(spark, os.path.join(wh, t)).manifest()["version"]
+        assert snap["tables"][t] == head
 
 
 def test_discard_and_conflict(spark, tmp_path):

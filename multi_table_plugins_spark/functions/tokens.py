@@ -99,17 +99,19 @@ def token_near_dup_pairs(
     pipeline (shingle-keyed candidates, stop-shingle cap, one-set-build
     verify), but over the ``tokens:array<int32>`` payload the CDC engine
     actually stores, where the original text no longer exists."""
+    from ..operators import fan_out
     from ..operators.dedup import shingle_jaccard_pairs
 
-    # no fan_out here (unlike the raw-text pipelines): token frames are
-    # usually DERIVED (post-shuffle), where the fan_out partition probe
-    # (df.rdd.getNumPartitions) EXECUTES the upstream stages as an extra
-    # job under AQE, and the shuffle output is already parallelism-sized
-    # by AQE's byte targets; the token-shingle HOF chain is also ~10x
-    # cheaper per row than the text word-shingle chain the guard was
-    # measured on (integer slices vs regex split + string joins).
+    # fan_out stays even though the partition probe costs an extra
+    # planning job on derived (post-shuffle) frames: an AQE-coalesced
+    # tiny input would otherwise persist the shingle cache as ONE
+    # partition and serialize every downstream map side (explode, window
+    # sort, the three cache-reading branches) onto one core — A/B
+    # measured +0.6-0.8 s on the full pipeline without it, more than the
+    # probe costs. At scale the input already has >= parallelism
+    # partitions and both the probe and the repartition are no-ops.
     sh_all = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col),
             F.array_distinct(token_shingles(tokens_col, k)).alias("shingles"),
         )
